@@ -1,0 +1,215 @@
+"""Declarative configuration for the stereo pipeline.
+
+Replaces the reference's three-level config system — compile-time ``static
+const bool`` switches (stereoMatching.h:57-83), static method-selection
+strings (main_.cpp:15-18), and the ~90-field runtime ``Parameters`` struct
+(stereoMatching.h:85-351) — with one frozen, hashable dataclass that can be
+closed over by ``jax.jit``.
+
+Defaults mirror the reference's measured configuration
+(main_.cpp:15-17 + stereoMatching.h:204-350): censusGrad cost
+(lam_cen=13, lam_g=1) + CBCA (2 iterations, arms 17/34, thresholds 20/6)
++ 4-path SGM (P1=1, P2=3, adaptive /4) + LRC + region-vote x2 +
+proper-interpolation x2 + 3x3 median blur.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+# Cost functions (reference dispatcher costCalculate, stereoMatching.cpp:945-1021)
+COST_METHODS = (
+    "ad",          # absolute color difference           (cpp:2468 gen_ad_sd_vm AOS=0)
+    "sd",          # squared color difference            (cpp:2468 gen_ad_sd_vm AOS=1)
+    "trunc_ad",    # truncated AD, DEFAULT=60            (cpp:2511 gen_truncAD_vm)
+    "bt",          # Birchfield-Tomasi                   (cpp:90-268)
+    "grad",        # x/y gradient cost, adaptive fuse    (cpp:271-534, 603-786)
+    "census",      # census bitstring Hamming            (h:566-1208, cpp:807-892)
+    "zncc",        # zero-mean NCC                       (cpp:2384-2464)
+    "ssd",         # box-summed SD                       (cpp:2589-2638)
+    "census_grad", # DEFAULT: exp-fused census+grad      (cpp:25-48)
+    "ad_grad",     # fixed-weight AD+grad 0.11/0.89      (cpp:50-70)
+    "ad_census",   # exp-fused AD+census                 (cpp:5250-5277)
+    "ad_census_grad",   # 3-way exp fusion               (cpp:917-943)
+    "ad_census_zncc",   # AD+census+ZNCC                 (cpp:5296-5307, 3844-3894)
+)
+
+AGG_METHODS = (
+    "none",
+    "cbca",   # cross-based cost aggregation (default)   (cpp:4333-4402, 5585-5690)
+    "bf",     # box filter                               (cpp:1023-1043)
+    "gf",     # guided filter                            (cpp:4404-4419, 4892-5248)
+    "fif",    # full-image recursive filter              (cpp:4541-4890)
+    "nl",     # non-local MST tree filter                (cpp:4892-4917, NL/)
+    "gfnl",   # variance-blended GF+NL                   (cpp:4421-4490)
+    "aws",    # adaptive support weight                  (cpp:5692-5801)
+)
+
+OPT_METHODS = (
+    "wta",    # plain argmin                             (cpp:3928-3967)
+    "sgm",    # semi-global matching (default)           (cpp:1983-2056, 6204-6269)
+    "so",     # scanline optimization w/ backtracking    (cpp:6272-6416)
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class MatchConfig:
+    """Full pipeline configuration. Hashable; safe as a jit static arg."""
+
+    # --- geometry -----------------------------------------------------------
+    max_disp: int = 59                 # main_.cpp:39 (teddy/cones)
+    # num_disparities = max_disp + 1   (stereoMatching.h:209)
+
+    # --- stage selection (main_.cpp:15-17) ----------------------------------
+    cost: str = "census_grad"
+    aggregation: str = "cbca"
+    optimization: str = "sgm"
+
+    # --- refinement switches (stereoMatching.h:57-83) -----------------------
+    do_refine: bool = True
+    do_lr_consis: bool = True          # Do_LRConsis
+    do_pkr: bool = False               # Do_calPKR
+    do_region_vote: bool = True        # Do_regionVote
+    do_proper_ipol: bool = True        # Do_properIpol
+    do_bg_ipol: bool = False           # Do_bgIpol
+    do_wm: bool = False                # Do_WM
+    do_da: bool = False                # Do_discontinuityAdjust
+    do_subpixel: bool = False          # Do_subpixelEnhancement
+    do_last_median: bool = True        # Do_lastMedianBlur
+    do_cbbi: bool = False              # Do_cbbi
+    uniq_check: bool = False           # UniqCk (h:57)
+    sub_ipol: bool = False             # SubIpl (h:58)
+
+    # --- cost parameters ----------------------------------------------------
+    lam_cen: float = 13.0              # lamCen (main_.cpp:62)
+    lam_g: float = 1.0                 # lamG (main_.cpp:61)
+    grad_trunc: float = 500.0          # grad() Trunc in censusGrad (cpp:35)
+    grad_use_2dir: bool = True         # grad_use2direc (h:247)
+    grad_fuse_adaptive: bool = True    # gradFuse_adpWgt (h:246)
+    ad_trunc: float = 7.0              # adGrad AD trunc (cpp:61)
+    is_ad_norm: bool = False           # is_adNorm (h:249)
+    is_census_norm: bool = False       # is_censusNorm (h:248)
+    is_grad_norm: bool = False         # is_gradNorm (h:250)
+    sd_ad_channels: int = 3            # SD_AD_channel (h:228)
+    census_rv: int = 3                 # census window half-height W_V (cpp:813 census_W={3,4})
+    census_ru: int = 4                 # census window half-width W_U
+    census_func: int = 3               # censusFunc: 3 = classic + 8 surround pairs (h:244)
+    census_trunc_ratio: float = 1.0    # truncRatio (cpp:36 censusCal arg)
+    bt_trunc: float = 20.0             # BT truncation (cpp:90-268)
+    zncc_win_rv: int = 3               # ZNCC window half sizes (W_V/W_U, h:205-206)
+    zncc_win_ru: int = 4
+    ssd_win_rv: int = 3
+    ssd_win_ru: int = 4
+
+    # --- CBCA parameters (h:263-292) ----------------------------------------
+    cbca_cross_l: int = 17             # cbca_crossL[0]
+    cbca_cross_l_out: int = 34         # cbca_crossL_out[0]
+    cbca_c_thresh: int = 20            # cbca_cTresh[0]
+    cbca_c_thresh_out: int = 6         # cbca_cTresh_out[0]
+    cbca_min_arm: int = 1              # cbca_minArmL
+    cbca_iterations: int = 2           # cbca_iterationNum
+    cbca_intersect: bool = True        # cbca_intersect
+
+    # --- box / guided filter ------------------------------------------------
+    bf_radius: int = 6                 # BF 12x12 boxFilter (cpp:1030) -> radius 6
+    gf_radius: int = 9                 # gf_r[0] (h:295)
+    gf_eps: float = 1e-4               # gf_eps[0]
+    gf_color_guide: bool = True        # gf_channel_isColor (h:299)
+
+    # --- FIF ----------------------------------------------------------------
+    fif_sigma: float = 0.08            # edge-weight sigma exp(-||dI||^2/0.08^2) (cpp:4541)
+    fif_improve: bool = True           # FIF_Improve is the live variant (cpp:1012)
+    fif_pn: float = 2.0                # SGM-like +-1 transition penalty (cpp:4707)
+
+    # --- NL tree filter -----------------------------------------------------
+    nl_sigma: float = 0.1              # NLCCA sigma (NL/NLCCA.cpp:33)
+
+    # --- AWS ----------------------------------------------------------------
+    aws_win: int = 17                  # 35x35 window -> radius 17 (h:1533)
+    aws_gamma: float = 5.0             # exp(-dLab/5) (h:1533-1548)
+
+    # --- SGM (h:236-241) ----------------------------------------------------
+    sgm_p1: float = 1.0                # hard-coded in updateCost (h:2240)
+    sgm_p2: float = 3.0                # hard-coded in updateCost (h:2241)
+    sgm_scan_num: int = 4              # numOfDirec (cpp:6214)
+    sgm_cor_dif_thres: int = 15        # sgm_corDifThres
+    sgm_redu_coeff: float = 4.0        # sgm_reduCoeffi1
+
+    # --- SO (cpp:6272) ------------------------------------------------------
+    so_pn2: float = 1.2
+    so_pn3: float = 3.6
+    so_dif_thres: int = 15
+
+    # --- WTA ----------------------------------------------------------------
+    choose_small: bool = True          # ChooseSmall (h:208): argmin vs argmax
+    uniqueness_ratio: float = 0.95     # uniquenessRatio_2small (h:210)
+
+    # --- refinement parameters ----------------------------------------------
+    lr_max_diff: int = 0               # LRmaxDiff (h:212)
+    lrc_classify: bool = False         # classifying LRC (OCC vs MIS) (cpp:2284)
+    region_vote_iters: int = 2         # region_vote_nums (h:302)
+    rv_s_thres: int = 20               # regVote_SThres
+    rv_h_ratio: float = 0.4            # regVote_hratioThres
+    rv_int_ratio_quirk: bool = True    # reproduce regionVote_my's C++ integer
+                                       # division `hist/validNum >= ratio`
+                                       # (cpp:7266) which makes the ratio test
+                                       # "all valid pixels agree"
+    proper_ipol_iters: int = 2         # refine() runs PI region_vote_nums times (cpp:1441)
+    pi_search_depth: int = 20          # properIpol searchDepth (cpp:7401)
+    pkr_thresh: float = 0.1            # calPKR (cpp:4087)
+    wm_win: int = 9                    # WM 19x19 -> radius 9 (cpp:7340)
+    wm_sigma_c: float = 25.0
+    wm_sigma_s: float = 9.0
+    median_kernel: int = 3             # medianKernelSize (h:213)
+
+    # --- sentinels (h:215-219): negative codes in int16 disparity maps ------
+    disp_inv: int = -16                # DISP_INV
+    disp_occ: int = -32                # DISP_OCC
+    disp_mis: int = -48                # DISP_MIS
+    disp_pkr: int = -64                # DISP_PKR
+    disp_scale: int = 16               # DISP_SCALE
+
+    # --- evaluation (h:225) -------------------------------------------------
+    error_threshold: float = 1.0       # errorThreshold (bad-1.0)
+
+    # --- numerics / TPU -----------------------------------------------------
+    vol_dtype: str = "float32"         # cost volume dtype
+    compute_both_volumes: bool = True  # build left+right volumes (LRC needs both)
+
+    @property
+    def num_disp(self) -> int:
+        return self.max_disp + 1
+
+    def replace(self, **kw) -> "MatchConfig":
+        return dataclasses.replace(self, **kw)
+
+    def validate(self) -> "MatchConfig":
+        if self.cost not in COST_METHODS:
+            raise ValueError(f"unknown cost {self.cost!r}; one of {COST_METHODS}")
+        if self.aggregation not in AGG_METHODS:
+            raise ValueError(f"unknown aggregation {self.aggregation!r}; one of {AGG_METHODS}")
+        if self.optimization not in OPT_METHODS:
+            raise ValueError(f"unknown optimization {self.optimization!r}; one of {OPT_METHODS}")
+        if self.max_disp < 1:
+            raise ValueError("max_disp must be >= 1")
+        return self
+
+
+def default_config(max_disp: int = 59, **kw) -> MatchConfig:
+    """The reference's measured default configuration (BASELINE.md)."""
+    return MatchConfig(max_disp=max_disp, **kw).validate()
+
+
+def fast_config(max_disp: int = 15, **kw) -> MatchConfig:
+    """BASELINE.json config 1: AD+census cost + plain WTA, no aggregation."""
+    base = dict(
+        cost="census",
+        aggregation="none",
+        optimization="wta",
+        do_refine=False,
+        do_lr_consis=False,
+        compute_both_volumes=False,
+    )
+    base.update(kw)
+    return MatchConfig(max_disp=max_disp, **base).validate()

@@ -1,0 +1,128 @@
+"""Cost aggregation (L2): cost-volume filtering.
+
+TPU-native re-design of the reference aggregation family. This module holds
+CBCA (the default) and the box filter; guided/FIF/NL/AWS live in their own
+modules and are dispatched from :func:`aggregate`.
+
+CBCA (cross-based cost aggregation, cpp:4333-4402 / cbca_core 5585-5666):
+two iterations of orthogonal 1-D arm-bounded integral aggregation over
+per-disparity intersected cross arms, alternating H->V then V->H, each
+iteration normalized by the aggregated support area. The reference's
+sequential running sums (gen1DCumu cpp:3896-3926) become ``cumsum`` +
+gather-differences (:func:`mystereomatching_tpu.ops.arms.arm_bounded_sum`).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+
+from mystereomatching_tpu.config import MatchConfig
+from mystereomatching_tpu.ops.arms import arm_bounded_sum, cross_arms, intersect_arms
+
+
+def cbca(
+    vol: jnp.ndarray,
+    arms_int: jnp.ndarray,
+    iterations: int = 2,
+) -> jnp.ndarray:
+    """Cross-based aggregation with per-disparity intersected arms.
+
+    vol: [D,H,W]; arms_int: [4,D,H,W] (left,right,up,down). Iteration i
+    runs H->V when i is even, V->H when odd (cbca_core cpp:5605-5616);
+    the support-area volume receives the identical transform and divides
+    the result (genfinalVm_cbca cpp:3969-3992).
+    """
+    armL, armR, armU, armD = (arms_int[i] for i in range(4))
+
+    def h_pass(x):
+        return arm_bounded_sum(x, armL, armR, axis=2)
+
+    def v_pass(x):
+        return arm_bounded_sum(x, armU, armD, axis=1)
+
+    for it in range(iterations):
+        area = jnp.ones_like(vol)
+        if it % 2 == 0:
+            vol, area = h_pass(vol), h_pass(area)
+            vol, area = v_pass(vol), v_pass(area)
+        else:
+            vol, area = v_pass(vol), v_pass(area)
+            vol, area = h_pass(vol), h_pass(area)
+        vol = vol / jnp.maximum(area, 1.0)
+    return vol
+
+
+def cbca_nonintersect(vol: jnp.ndarray, arms: jnp.ndarray,
+                      iterations: int = 2) -> jnp.ndarray:
+    """CBCA variant with per-pixel (non-intersected) arms [4,H,W]
+    (cbca_intersect=false path of cbca_core). Also the support-aggregation
+    engine reused by region vote (cal_histogram_for_HV cpp:6830-6862)."""
+    armL, armR, armU, armD = (arms[i][None] for i in range(4))
+    for it in range(iterations):
+        area = jnp.ones_like(vol)
+        passes = ((2, armL, armR), (1, armU, armD)) if it % 2 == 0 else \
+                 ((1, armU, armD), (2, armL, armR))
+        for axis, a_neg, a_pos in passes:
+            vol = arm_bounded_sum(vol, a_neg, a_pos, axis=axis)
+            area = arm_bounded_sum(area, a_neg, a_pos, axis=axis)
+        vol = vol / jnp.maximum(area, 1.0)
+    return vol
+
+
+def box_filter_volume(vol: jnp.ndarray, radius: int = 6) -> jnp.ndarray:
+    """BF aggregation (cpp:1023-1043): normalized 2r x 2r box mean on each
+    disparity slice (cv::boxFilter 12x12 -> window [-(r-1), r] per axis)."""
+    from mystereomatching_tpu.ops.cost import _box_sum
+
+    lo, hi = -(radius - 1), radius
+    s = _box_sum(vol, radius, radius, lo, hi, lo, hi)
+    ones = jnp.ones(vol.shape[-2:], vol.dtype)
+    area = _box_sum(ones, radius, radius, lo, hi, lo, hi)
+    return s / area
+
+
+def aggregate(
+    vol: jnp.ndarray,
+    cfg: MatchConfig,
+    image: jnp.ndarray,
+    gray: jnp.ndarray,
+    arms_int: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Aggregation dispatcher (cost-volume filtering stage of costCalculate).
+
+    image/gray: the reference image of this volume (guide for GF/NL/AWS).
+    arms_int: precomputed [4,D,H,W] intersected arms for CBCA.
+    """
+    method = cfg.aggregation
+    if method == "none":
+        return vol
+    if method == "cbca":
+        assert arms_int is not None
+        return cbca(vol, arms_int, cfg.cbca_iterations)
+    if method == "bf":
+        return box_filter_volume(vol, cfg.bf_radius)
+    if method == "gf":
+        from mystereomatching_tpu.ops.guided import guided_filter_volume
+
+        guide = image if cfg.gf_color_guide else gray
+        return guided_filter_volume(vol, guide, cfg.gf_radius, cfg.gf_eps)
+    if method == "fif":
+        from mystereomatching_tpu.ops.fif import fif_improve, fif
+
+        fn = fif_improve if cfg.fif_improve else fif
+        return fn(vol, image, sigma=cfg.fif_sigma, pn=cfg.fif_pn)
+    if method == "nl":
+        from mystereomatching_tpu.ops.nl import nl_aggregate
+
+        return nl_aggregate(vol, image, sigma=cfg.nl_sigma)
+    if method == "gfnl":
+        from mystereomatching_tpu.ops.nl import gfnl_aggregate
+
+        return gfnl_aggregate(vol, image, gray, cfg)
+    if method == "aws":
+        from mystereomatching_tpu.ops.aws import aws_aggregate
+
+        return aws_aggregate(vol, image, cfg)
+    raise ValueError(f"unknown aggregation {method!r}")

@@ -1,0 +1,387 @@
+"""Matching-cost computation (L1): build the [D, H, W] cost volume.
+
+TPU-native re-design of the reference cost family (costCalculate dispatcher,
+stereoMatching.cpp:945-1021). All kernels are dense vector ops over the
+whole volume; the per-pixel ``for v/u/d`` loops of the reference become one
+disparity-shifted gather plus elementwise math.
+
+Conventions: images float32 in [0,255]; left volume (lor=0) matches
+I_L(v,u) against I_R(v,u-d); right volume (lor=1) matches I_L(v,u+d)
+against I_R(v,u). Out-of-range entries take each cost's DEFAULT.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax.numpy as jnp
+from jax import lax
+
+from mystereomatching_tpu.config import MatchConfig
+from mystereomatching_tpu.ops import census as census_ops
+from mystereomatching_tpu.ops.volume import pointwise_volume, shifted_stack, valid_mask
+from mystereomatching_tpu.ops import arms as arms_ops
+
+
+# ---------------------------------------------------------------------------
+# AD / SD / truncated AD  (gen_ad_sd_vm cpp:2468-2509, gen_truncAD_vm 2511-2551)
+# ---------------------------------------------------------------------------
+
+def ad_volume(left: jnp.ndarray, right: jnp.ndarray, num_disp: int, lor: int,
+              trunc: float = 1e9, squared: bool = False,
+              normalize: bool = False) -> jnp.ndarray:
+    """Mean over channels of |dI| (or dI^2), truncated (cpp:2468-2509).
+
+    left/right: [H, W, C]. DEFAULT for invalid entries = trunc (or 1 when
+    normalized, cpp:2470).
+    """
+    lc = jnp.moveaxis(left.astype(jnp.float32), -1, 0)    # [C,H,W]
+    rc = jnp.moveaxis(right.astype(jnp.float32), -1, 0)
+
+    def cost(a, b):
+        d = jnp.abs(a - b)
+        if squared:
+            d = d * d
+        return jnp.minimum(jnp.mean(d, axis=1), trunc)    # mean over C
+
+    default = 1.0 if normalize else trunc
+    vol = pointwise_volume(cost, lc, rc, num_disp, lor, default)
+    if normalize:
+        valid = valid_mask(left.shape[1], num_disp, lor)
+        vol = jnp.where(valid, vol / trunc, 1.0)
+    return vol
+
+
+def trunc_ad_volume(left: jnp.ndarray, right: jnp.ndarray, num_disp: int,
+                    lor: int, trunc: float = 60.0) -> jnp.ndarray:
+    """Sum (not mean) of per-channel |dI|, truncated at 60 (cpp:2511-2551)."""
+    lc = jnp.moveaxis(left.astype(jnp.float32), -1, 0)
+    rc = jnp.moveaxis(right.astype(jnp.float32), -1, 0)
+
+    def cost(a, b):
+        return jnp.minimum(jnp.sum(jnp.abs(a - b), axis=1), trunc)
+
+    return pointwise_volume(cost, lc, rc, num_disp, lor, trunc)
+
+
+# ---------------------------------------------------------------------------
+# Gradient cost  (calGrad/calGrad_y cpp:271-388, calgradvm 388-466)
+# ---------------------------------------------------------------------------
+
+def central_gradient(img: jnp.ndarray, axis: int) -> jnp.ndarray:
+    """0.5*(I[x+1]-I[x-1]) interior; one-sided at borders (cpp:271-320)."""
+    g = img.astype(jnp.float32)
+    fwd = jnp.roll(g, -1, axis)
+    bwd = jnp.roll(g, 1, axis)
+    grad = 0.5 * (fwd - bwd)
+    n = img.shape[axis]
+    idx = jnp.arange(n)
+    first = jnp.take(g, jnp.array([1]), axis) - jnp.take(g, jnp.array([0]), axis)
+    last = jnp.take(g, jnp.array([n - 1]), axis) - jnp.take(g, jnp.array([n - 2]), axis)
+    pos = idx.reshape([-1 if a == axis else 1 for a in range(img.ndim)])
+    grad = jnp.where(pos == 0, first, grad)
+    grad = jnp.where(pos == n - 1, last, grad)
+    return grad
+
+
+def grad_volume(
+    gray_l: jnp.ndarray,
+    gray_r: jnp.ndarray,
+    num_disp: int,
+    lor: int,
+    trunc: float = 500.0,
+    use_2dir: bool = True,
+    adaptive_weight: bool = True,
+    arms: Optional[jnp.ndarray] = None,
+    normalize: bool = False,
+) -> jnp.ndarray:
+    """Gradient cost volume (grad() cpp:603-657 + calgradvm 388-466).
+
+    x/y central-difference gradients of the gray images; cost =
+    a*min(|dGx|,T) + (1-a)*min(|dGy|,T) with the adaptive weight
+    a = shortestH/(shortestH+shortestV) from the CBCA arm lengths of the
+    reference image (cpp:424-433; arms is [4,H,W] for image `lor`).
+    DEFAULT for invalid entries = sqrt(2*T^2) (cpp:443).
+    """
+    gx = (central_gradient(gray_l, 1), central_gradient(gray_r, 1))
+    gy = (central_gradient(gray_l, 0), central_gradient(gray_r, 0))
+
+    if use_2dir and adaptive_weight:
+        assert arms is not None, "adaptive grad weight needs cross arms"
+        short_h = jnp.maximum(jnp.minimum(arms[0], arms[1]), 1).astype(jnp.float32)
+        short_v = jnp.maximum(jnp.minimum(arms[2], arms[3]), 1).astype(jnp.float32)
+        a = short_h / (short_h + short_v)                 # [H,W]
+    else:
+        a = None
+
+    def build(pair):
+        ref, oth = (pair[0], pair[1]) if lor == 0 else (pair[1], pair[0])
+        sh = shifted_stack(oth, num_disp, lor)
+        return jnp.minimum(jnp.abs(ref[None] - sh), trunc)
+
+    cx = build(gx)
+    if not use_2dir:
+        default = 1.0 if normalize else trunc
+        valid = valid_mask(gray_l.shape[-1], num_disp, lor)
+        out = cx / trunc if normalize else cx
+        return jnp.where(valid, out, default)
+
+    cy = build(gy)
+    if adaptive_weight:
+        vol = a[None] * cx + (1.0 - a)[None] * cy
+    else:
+        vol = cx + cy                                      # cpp:455 (non-adaptive sum)
+    import math
+
+    default = math.sqrt(2.0 * trunc * trunc)
+    valid = valid_mask(gray_l.shape[-1], num_disp, lor)
+    return jnp.where(valid, vol, default)
+
+
+# ---------------------------------------------------------------------------
+# Birchfield-Tomasi  (bt/calCostForBT/calNeiMaxMin cpp:90-268)
+# ---------------------------------------------------------------------------
+
+def _nei_max_min(img: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-pixel (min, max) over {I, (I+I_left)/2, (I+I_right)/2} with the
+    reference's border quirks (calNeiMaxMin cpp:196-233): at u=0 the set is
+    {I0, avg(I0,I1)}; at u=W-1 it is {avg, I_{W-1}} (center excluded)."""
+    g = img.astype(jnp.float32)
+    il = 0.5 * (jnp.roll(g, 1, -1) + g)
+    ir = 0.5 * (jnp.roll(g, -1, -1) + g)
+    mn = jnp.minimum(g, jnp.minimum(il, ir))
+    mx = jnp.maximum(g, jnp.maximum(il, ir))
+    # border columns
+    mn0 = jnp.minimum(g[..., 0], 0.5 * (g[..., 0] + g[..., 1]))
+    mx0 = jnp.maximum(g[..., 0], 0.5 * (g[..., 0] + g[..., 1]))
+    mnl = jnp.minimum(0.5 * (g[..., -2] + g[..., -1]), g[..., -1])
+    mxl = jnp.maximum(0.5 * (g[..., -2] + g[..., -1]), g[..., -1])
+    mn = mn.at[..., 0].set(mn0).at[..., -1].set(mnl)
+    mx = mx.at[..., 0].set(mx0).at[..., -1].set(mxl)
+    return mn, mx
+
+
+def bt_volume(left: jnp.ndarray, right: jnp.ndarray, num_disp: int, lor: int,
+              trunc: float = 20.0) -> jnp.ndarray:
+    """Birchfield-Tomasi sampling-insensitive cost (calCostForBT cpp:142-194).
+
+    left/right: [H,W] gray or [H,W,C] color; cost is the channel mean of
+    min(d(L->R), d(R->L)), truncated at 20. DEFAULT = trunc.
+    """
+    if left.ndim == 2:
+        left = left[..., None]
+        right = right[..., None]
+    lc = jnp.moveaxis(left.astype(jnp.float32), -1, 0)     # [C,H,W]
+    rc = jnp.moveaxis(right.astype(jnp.float32), -1, 0)
+    lmin, lmax = _nei_max_min(lc)
+    rmin, rmax = _nei_max_min(rc)
+
+    ref, oth = (lc, rc) if lor == 0 else (rc, lc)
+    ref_min, ref_max = (lmin, lmax) if lor == 0 else (rmin, rmax)
+    oth_min, oth_max = (rmin, rmax) if lor == 0 else (lmin, lmax)
+
+    sh = shifted_stack(oth, num_disp, lor)                 # [D,C,H,W]
+    sh_min = shifted_stack(oth_min, num_disp, lor)
+    sh_max = shifted_stack(oth_max, num_disp, lor)
+
+    v0 = jnp.maximum(0.0, jnp.maximum(sh_min - ref[None], ref[None] - sh_max))
+    v1 = jnp.maximum(0.0, jnp.maximum(ref_min[None] - sh, sh - ref_max[None]))
+    cost = jnp.minimum(jnp.mean(jnp.minimum(v0, v1), axis=1), trunc)
+    valid = valid_mask(left.shape[1], num_disp, lor)
+    return jnp.where(valid, cost, trunc)
+
+
+# ---------------------------------------------------------------------------
+# ZNCC  (cal_ave_std_ncc / gen_NCC_vm cpp:2384-2464, transform cpp:2696-2707)
+# ---------------------------------------------------------------------------
+
+def _box_sum(x: jnp.ndarray, rv: int, ru: int,
+             lo_v: int = None, hi_v: int = None,
+             lo_u: int = None, hi_u: int = None) -> jnp.ndarray:
+    """Windowed sum over dv in [lo_v,hi_v], du in [lo_u,hi_u] (default the
+    full +-r window), zero-padded. x: [..., H, W]."""
+    lo_v = -rv if lo_v is None else lo_v
+    hi_v = rv if hi_v is None else hi_v
+    lo_u = -ru if lo_u is None else lo_u
+    hi_u = ru if hi_u is None else hi_u
+    h, w = x.shape[-2:]
+    pad = [(0, 0)] * (x.ndim - 2) + [(max(0, -lo_v), max(0, hi_v)),
+                                     (max(0, -lo_u), max(0, hi_u))]
+    xp = jnp.pad(x, pad)
+    # integral image, exclusive-prefix style via padded cumsum
+    cs = jnp.cumsum(jnp.cumsum(xp, -1), -2)
+    cs = jnp.pad(cs, [(0, 0)] * (x.ndim - 2) + [(1, 0), (1, 0)])
+    v0 = 0
+    u0 = 0
+    a = hi_v - lo_v + 1
+    b = hi_u - lo_u + 1
+    out = (cs[..., v0 + a: v0 + a + h, u0 + b: u0 + b + w]
+           - cs[..., v0 + a: v0 + a + h, u0: u0 + w]
+           - cs[..., v0: v0 + h, u0 + b: u0 + b + w]
+           + cs[..., v0: v0 + h, u0: u0 + w])
+    return out
+
+
+def zncc_volume(gray_l: jnp.ndarray, gray_r: jnp.ndarray, num_disp: int,
+                lor: int, rv: int = 3, ru: int = 4) -> jnp.ndarray:
+    """ZNCC cost: 1 - NCC, with NCC<0 mapped to cost 1 (transform_NCCVm2).
+
+    Reproduces the reference's window quirks (gen_NCC_vm cpp:2419-2464):
+    mean/std use the full (2rv+1)x(2ru+1) window but the correlation sum
+    runs dv in [-rv, rv), du in [-ru, ru) (exclusive upper bound); std is
+    sqrt(sum sq dev) without area normalization — it cancels in the ratio
+    only asymmetrically, which we match. Border band (|v|<rv etc.) and
+    invalid disparities -> DEFAULT_MC=-1 -> cost 1.
+    """
+    gl = gray_l.astype(jnp.float32)
+    gr = gray_r.astype(jnp.float32)
+    area = (2 * rv + 1) * (2 * ru + 1)
+    mean_l = _box_sum(gl, rv, ru) / area
+    mean_r = _box_sum(gr, rv, ru) / area
+    std_l = jnp.sqrt(_box_sum(gl * gl, rv, ru) - 2 * mean_l * _box_sum(gl, rv, ru)
+                     + area * mean_l * mean_l)
+    std_r = jnp.sqrt(_box_sum(gr * gr, rv, ru) - 2 * mean_r * _box_sum(gr, rv, ru)
+                     + area * mean_r * mean_r)
+
+    ref, oth = (gl, gr) if lor == 0 else (gr, gl)
+    ref_mean, oth_mean = (mean_l, mean_r) if lor == 0 else (mean_r, mean_l)
+    ref_std, oth_std = (std_l, std_r) if lor == 0 else (std_r, std_l)
+
+    sh = shifted_stack(oth, num_disp, lor)                 # [D,H,W]
+    sh_mean = shifted_stack(oth_mean, num_disp, lor)
+    sh_std = shifted_stack(oth_std, num_disp, lor)
+
+    # asymmetric-window sums (dv,du in [-r, r))
+    def asym(x):
+        return _box_sum(x, rv, ru, -rv, rv - 1, -ru, ru - 1)
+
+    s_rr = asym(ref[None] * sh)
+    s_r = asym(jnp.broadcast_to(ref[None], sh.shape))
+    s_s = asym(sh)
+    a_area = (2 * rv) * (2 * ru)
+    numer = s_rr - ref_mean[None] * s_s - sh_mean * s_r + a_area * ref_mean[None] * sh_mean
+    ncc = numer / jnp.maximum(ref_std[None] * sh_std, 1e-12)
+
+    h, w = gl.shape
+    u = jnp.arange(w)[None, None, :]
+    v = jnp.arange(h)[None, :, None]
+    d = jnp.arange(num_disp)[:, None, None]
+    if lor == 0:
+        inner = (u - d >= ru) & (u < w - ru)
+    else:
+        inner = (u + d < w - ru) & (u >= ru)
+    inner = inner & (v >= rv) & (v < h - rv)
+    ncc = jnp.where(inner, ncc, -1.0)
+    return jnp.where(ncc < 0, 1.0, 1.0 - ncc)
+
+
+# ---------------------------------------------------------------------------
+# SSD  (gen_ssd_vm cpp:2589-2638)
+# ---------------------------------------------------------------------------
+
+def ssd_volume(gray_l: jnp.ndarray, gray_r: jnp.ndarray, num_disp: int,
+               lor: int, rv: int = 3, ru: int = 4) -> jnp.ndarray:
+    """Box-summed squared-difference volume (gen_ssd_vm cpp:2589-2638):
+    per-pixel SD then (2rv+1)x(2ru+1) window sum. Invalid entries inherit
+    the border SD default (we use the truncated max of the window sum)."""
+    sd = ad_volume(gray_l[..., None], gray_r[..., None], num_disp, lor,
+                   trunc=255.0**2, squared=True)
+    return _box_sum(sd, rv, ru)
+
+
+# ---------------------------------------------------------------------------
+# Fused costs (censusGrad cpp:25-48, adGrad 50-70, ADCensus 894-915, ...)
+# ---------------------------------------------------------------------------
+
+def exp_fuse2(vm0: jnp.ndarray, vm1: jnp.ndarray, lam0: float, lam1: float) -> jnp.ndarray:
+    """2 - exp(-vm0/lam0) - exp(-vm1/lam1) (gen_vm_from2vm_exp cpp:3566-3590)."""
+    return 2.0 - jnp.exp(-vm0 / lam0) - jnp.exp(-vm1 / lam1)
+
+
+def exp_fuse3(vm0, vm1, vm2, lam0, lam1, lam2) -> jnp.ndarray:
+    """3-way exponential fusion (gen_vm_from3vm_exp cpp:3592-3620)."""
+    return 3.0 - jnp.exp(-vm0 / lam0) - jnp.exp(-vm1 / lam1) - jnp.exp(-vm2 / lam2)
+
+
+def fix_weight_fuse(vm0, w0, vm1, w1) -> jnp.ndarray:
+    """w0*vm0 + w1*vm1 (gen_vm_from2vm_fixWgt cpp:3622-3645)."""
+    return w0 * vm0 + w1 * vm1
+
+
+# ---------------------------------------------------------------------------
+# Dispatcher
+# ---------------------------------------------------------------------------
+
+def compute_cost_volume(
+    left: jnp.ndarray,
+    right: jnp.ndarray,
+    gray_l: jnp.ndarray,
+    gray_r: jnp.ndarray,
+    cfg: MatchConfig,
+    lor: int,
+    arms: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """String-dispatch cost computation (costCalculate, cpp:945-1021).
+
+    left/right: [H,W,3] color float32; gray_l/gray_r: [H,W] gray.
+    arms: [4,H,W] cross arms of the reference image (for adaptive grad
+    weighting); required for grad-based costs when grad_fuse_adaptive.
+    """
+    d = cfg.num_disp
+    method = cfg.cost
+
+    def census_vm():
+        code_fn = {
+            0: lambda g: census_ops.census_code_classic(g, cfg.census_rv, cfg.census_ru),
+            3: lambda g: census_ops.census_code_ncsur(g, cfg.census_rv, cfg.census_ru),
+        }[cfg.census_func]
+        n_bits = (2 * cfg.census_rv + 1) * (2 * cfg.census_ru + 1)
+        if cfg.census_func == 3:
+            n_bits += 8
+        cl = code_fn(gray_l)
+        cr = code_fn(gray_r)
+        return census_ops.hamming_volume(
+            cl, cr, d, lor, n_bits, cfg.census_trunc_ratio, cfg.is_census_norm)
+
+    def grad_vm(trunc):
+        return grad_volume(gray_l, gray_r, d, lor, trunc, cfg.grad_use_2dir,
+                           cfg.grad_fuse_adaptive, arms, cfg.is_grad_norm)
+
+    if method == "ad":
+        return ad_volume(left, right, d, lor, trunc=1e9)
+    if method == "sd":
+        return ad_volume(left, right, d, lor, trunc=1e9, squared=True)
+    if method == "trunc_ad":
+        return trunc_ad_volume(left, right, d, lor)
+    if method == "bt":
+        return bt_volume(gray_l, gray_r, d, lor, cfg.bt_trunc)
+    if method == "grad":
+        return grad_vm(cfg.grad_trunc)
+    if method == "census":
+        return census_vm()
+    if method == "zncc":
+        return zncc_volume(gray_l, gray_r, d, lor, cfg.zncc_win_rv, cfg.zncc_win_ru)
+    if method == "ssd":
+        return ssd_volume(gray_l, gray_r, d, lor, cfg.ssd_win_rv, cfg.ssd_win_ru)
+    if method == "census_grad":
+        # default: censusGrad (cpp:25-48), grad trunc 500 (cpp:35)
+        return exp_fuse2(census_vm(), grad_vm(cfg.grad_trunc), cfg.lam_cen, cfg.lam_g)
+    if method == "ad_grad":
+        # adGrad (cpp:50-70): AD trunc 7, grad trunc 2, weights 0.11/0.89
+        advm = ad_volume(left, right, d, lor, trunc=cfg.ad_trunc)
+        gvm = grad_volume(gray_l, gray_r, d, lor, 2.0, cfg.grad_use_2dir,
+                          cfg.grad_fuse_adaptive, arms)
+        return fix_weight_fuse(advm, 0.11, gvm, 0.89)
+    if method == "ad_census":
+        # adCensus (cpp:5250-5277): exp fusion of AD (lam 10) and census (lam 30)
+        advm = ad_volume(left, right, d, lor, trunc=1e9)
+        return exp_fuse2(census_vm(), advm, 30.0, 10.0)
+    if method == "ad_census_grad":
+        advm = ad_volume(left, right, d, lor, trunc=1e9)
+        return exp_fuse3(census_vm(), grad_vm(cfg.grad_trunc), advm,
+                         cfg.lam_cen, cfg.lam_g, 10.0)
+    if method == "ad_census_zncc":
+        advm = ad_volume(left, right, d, lor, trunc=1e9)
+        zvm = zncc_volume(gray_l, gray_r, d, lor, cfg.zncc_win_rv, cfg.zncc_win_ru)
+        return exp_fuse3(census_vm(), zvm, advm, cfg.lam_cen, 1.0, 10.0)
+    raise ValueError(f"unknown cost method {method!r}")

@@ -1,0 +1,278 @@
+"""Parallel MST over the image grid + rooted tree extraction — device-resident.
+
+TPU-native replacement for the reference's sequential Kruskal MST
+(NL/qx_mst_kruskals_image.cpp:167-277: counting-sorted edges, union-find,
+BFS rooting). The sequential algorithms become:
+
+  * **Borůvka** component hooking: O(log N) rounds; each round every
+    component picks its minimum outgoing edge (ties broken by edge index,
+    making the MST unique and deterministic like Kruskal's sorted order),
+    hooks onto the neighbor component, and labels are flattened by pointer
+    jumping. All steps are segment-min/gather/scatter over flat arrays.
+  * **Euler-tour rooting**: each undirected tree edge becomes two directed
+    edges living in 4 fixed per-node slots (R, D, L, U — possible because
+    tree edges are grid edges). The tour successor of (u -> v) is v's next
+    present slot after the reverse edge; list-ranking the tour by pointer
+    doubling orders the 2(N-1) directed edges, and for each tree edge the
+    earlier-ranked direction points parent -> child. This replaces the BFS
+    parent/children/rank arrays (qx_mst_kruskals_image.cpp:229-277) with
+    O(log N) gathers.
+
+Edge weights: max-channel |dI| of the 3x3-median-prefiltered color image
+(qx_mst_compute_edges_per_pixel NL/qx_mst_kruskals_image.cpp:7-45; ctmf
+prefilter at cpp:174).
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from mystereomatching_tpu.ops.median import median_small
+
+
+class RootedTree(NamedTuple):
+    """Rooted spanning tree over H*W grid nodes (root = node 0)."""
+
+    parent: jnp.ndarray       # [N] int32; parent[root] = root
+    weight: jnp.ndarray       # [N] int32 edge weight (node <-> parent), 0..255
+    shape: Tuple[int, int]
+
+
+def grid_edge_weights(image: jnp.ndarray, prefilter: bool = True) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(w_right [H,W-1], w_down [H-1,W]) uint8-range int32 max-channel |dI|."""
+    img = image
+    if img.ndim == 2:
+        img = img[..., None]
+    if prefilter:
+        img = jnp.round(median_small(
+            jnp.moveaxis(img.astype(jnp.float32), -1, 0), 3))
+        img = jnp.moveaxis(img, 0, -1)
+    img = img.astype(jnp.int32)
+    wr = jnp.max(jnp.abs(img[:, 1:] - img[:, :-1]), -1)
+    wd = jnp.max(jnp.abs(img[1:, :] - img[:-1, :]), -1)
+    return wr, wd
+
+
+def _flatten_edges(wr: jnp.ndarray, wd: jnp.ndarray):
+    """Edge arrays (eu, ev, ew): right edges row-major, then down edges
+    COLUMN-major — the reference's enumeration order
+    (qx_mst_compute_edges_4neighbor cpp:46-69), so index tie-breaking
+    mirrors its stable counting sort + Kruskal scan."""
+    h, w = wr.shape[0], wr.shape[1] + 1
+    ids = jnp.arange(h * w, dtype=jnp.int32).reshape(h, w)
+    eu = jnp.concatenate([ids[:, :-1].reshape(-1), ids[:-1, :].T.reshape(-1)])
+    ev = jnp.concatenate([ids[:, 1:].reshape(-1), ids[1:, :].T.reshape(-1)])
+    ew = jnp.concatenate([wr.reshape(-1), wd.T.reshape(-1)]).astype(jnp.int32)
+    return eu, ev, ew
+
+
+def boruvka_mst(wr: jnp.ndarray, wd: jnp.ndarray) -> jnp.ndarray:
+    """Minimum spanning tree of the 4-neighbor grid.
+
+    Returns a bool mask [E] over the flattened edge list (right edges then
+    down edges) marking MST membership. Deterministic: ties by edge index,
+    matching the reference's stable sort + Kruskal order.
+    """
+    h, w = wr.shape[0], wr.shape[1] + 1
+    n = h * w
+    eu, ev, ew = _flatten_edges(wr, wd)
+    e = eu.shape[0]
+    rounds = max(1, math.ceil(math.log2(max(n, 2))))
+    jump_rounds = rounds + 1
+    big_w = jnp.int32(1 << 30)
+    big_i = jnp.int32(e)
+
+    comp = jnp.arange(n, dtype=jnp.int32)
+    in_mst = jnp.zeros((e,), jnp.bool_)
+
+    def round_body(state, _):
+        comp, in_mst = state
+        cu = comp[eu]
+        cv = comp[ev]
+        alive = cu != cv
+        wv = jnp.where(alive, ew, big_w)
+        # min weight per component over outgoing edges (both directions)
+        both_seg = jnp.concatenate([cu, cv])
+        both_w = jnp.concatenate([wv, wv])
+        minw = jax.ops.segment_min(both_w, both_seg, num_segments=n)
+        # min edge index among weight-minimal edges
+        eidx = jnp.arange(e, dtype=jnp.int32)
+        elig_u = alive & (ew == minw[cu])
+        elig_v = alive & (ew == minw[cv])
+        both_i = jnp.concatenate([jnp.where(elig_u, eidx, big_i),
+                                  jnp.where(elig_v, eidx, big_i)])
+        mine = jax.ops.segment_min(both_i, both_seg, num_segments=n)
+        has = mine < big_i
+
+        # hooking: comp c -> component at the other end of its min edge
+        sel = jnp.clip(mine, 0, e - 1)
+        other = jnp.where(comp[eu[sel]] == jnp.arange(n, dtype=jnp.int32),
+                          comp[ev[sel]], comp[eu[sel]])
+        parent = jnp.where(has, other, jnp.arange(n, dtype=jnp.int32))
+        # break 2-cycles: keep hook only from the smaller label
+        two_cycle = parent[parent] == jnp.arange(n, dtype=jnp.int32)
+        parent = jnp.where(two_cycle & (parent > jnp.arange(n, dtype=jnp.int32)),
+                           jnp.arange(n, dtype=jnp.int32), parent)
+
+        # mark chosen edges; a 2-cycle's shared edge is selected by BOTH
+        # components (one hook pruned above) — scatter-max keeps it marked
+        mark = (has & (parent != jnp.arange(n, dtype=jnp.int32))).astype(jnp.int32)
+        chosen = jnp.zeros((e,), jnp.int32).at[sel].max(mark, mode="drop")
+        in_mst = in_mst | (chosen > 0)
+
+        # pointer jumping to flatten labels
+        for _ in range(jump_rounds):
+            parent = parent[parent]
+        return (parent[comp], in_mst), None
+
+    (comp, in_mst), _ = jax.lax.scan(round_body, (comp, in_mst), None,
+                                     length=rounds)
+    return in_mst
+
+
+# slot order: 0=right, 1=down, 2=left, 3=up (cyclic for the Euler tour)
+_REV_SLOT = (2, 3, 0, 1)
+
+
+def _slot_masks(in_mst: jnp.ndarray, h: int, w: int):
+    """[4, H, W] bool: node has a tree edge in slot s."""
+    e_r = in_mst[: h * (w - 1)].reshape(h, w - 1)
+    e_d = in_mst[h * (w - 1):].reshape(w, h - 1).T   # down edges column-major
+    right = jnp.pad(e_r, ((0, 0), (0, 1)))
+    left = jnp.pad(e_r, ((0, 0), (1, 0)))
+    down = jnp.pad(e_d, ((0, 1), (0, 0)))
+    up = jnp.pad(e_d, ((1, 0), (0, 0)))
+    return jnp.stack([right, down, left, up])
+
+
+def root_tree(in_mst: jnp.ndarray, wr: jnp.ndarray, wd: jnp.ndarray) -> RootedTree:
+    """Orient the MST toward node 0 via Euler tour + list ranking."""
+    h, w = wr.shape[0], wr.shape[1] + 1
+    n = h * w
+    slots = _slot_masks(in_mst, h, w)                 # [4,H,W]
+    present = slots.reshape(4, n)                     # per-node slot presence
+
+    # directed edge id = node*4 + slot (for present slots)
+    # successor of (u -> v) through slot s: v's next present slot after
+    # reverse slot r (cyclic r+1, r+2, r+3, r — tour of a tree visits all)
+    # target node per slot
+    tgt = jnp.stack([
+        jnp.arange(n, dtype=jnp.int32) + 1,          # right
+        jnp.arange(n, dtype=jnp.int32) + w,          # down
+        jnp.arange(n, dtype=jnp.int32) - 1,          # left
+        jnp.arange(n, dtype=jnp.int32) - w,          # up
+    ], 1)                                             # [N,4]
+    tgt = jnp.clip(tgt, 0, n - 1)
+
+    pres_t = present.T                                # [N,4]
+    de = 4 * n
+
+    # successor for every potential directed edge (u, s): arrive at v=tgt,
+    # continue through v's next present slot after _REV_SLOT[s]
+    succ = jnp.zeros((n, 4), jnp.int32)
+    for s in range(4):
+        v = tgt[:, s]
+        r = _REV_SLOT[s]
+        nxt = jnp.full((n,), -1, jnp.int32)
+        for k in (4, 3, 2, 1):                        # reverse priority: k=1 wins
+            cand = (r + k) % 4
+            nxt = jnp.where(pres_t[v, cand], v * 4 + cand, nxt)
+        succ = succ.at[:, s].set(nxt)
+    succ = succ.reshape(de)                           # [4N]
+
+    # start edge: node 0's first present slot
+    slot0 = jnp.argmax(pres_t[0], axis=0).astype(jnp.int32)
+    e0 = slot0  # = 0*4 + slot0
+
+    # cut the cycle before e0 and rank by pointer doubling
+    is_edge = present.T.reshape(de)
+    succ = jnp.where(succ == e0, jnp.arange(de, dtype=jnp.int32), succ)
+    succ = jnp.where(is_edge, succ, jnp.arange(de, dtype=jnp.int32))
+    dist = jnp.where(is_edge & (succ != jnp.arange(de, dtype=jnp.int32)), 1, 0)
+    rounds = math.ceil(math.log2(max(de, 2)))
+    for _ in range(rounds):
+        dist = dist + dist[succ]
+        succ = succ[succ]
+    # dist = steps to tour end; earlier edge => larger dist
+    rank = -dist                                      # increasing along tour
+
+    # parent via gathers: node v's parent is the neighbor t of the unique
+    # present slot s whose INCOMING direction (t->v) ranks earlier than the
+    # outgoing (v->t) — the Euler tour enters v from its parent first.
+    rank_nv = rank.reshape(n, 4)
+    wr_p = jnp.pad(wr, ((0, 0), (0, 1))).reshape(-1)
+    wl_p = jnp.pad(wr, ((0, 0), (1, 0))).reshape(-1)
+    wd_p = jnp.pad(wd, ((0, 1), (0, 0))).reshape(-1)
+    wu_p = jnp.pad(wd, ((1, 0), (0, 0))).reshape(-1)
+    wslot = jnp.stack([wr_p, wd_p, wl_p, wu_p], 1)    # [N,4] edge weights
+
+    parent = jnp.arange(n, dtype=jnp.int32)
+    weight = jnp.zeros((n,), jnp.int32)
+    for s in range(4):
+        t = tgt[:, s]
+        r = _REV_SLOT[s]
+        out_rank = rank_nv[:, s]                      # rank(v -> t)
+        in_rank = rank_nv[t, r]                       # rank(t -> v)
+        is_parent = pres_t[:, s] & (in_rank < out_rank)
+        parent = jnp.where(is_parent, t, parent)
+        weight = jnp.where(is_parent, wslot[:, s], weight)
+    # root keeps itself with weight 0
+    idx = jnp.arange(n, dtype=jnp.int32)
+    parent = jnp.where(idx == 0, 0, parent)
+    weight = jnp.where(idx == 0, 0, weight)
+    return RootedTree(parent=parent, weight=weight, shape=(h, w))
+
+
+def build_tree(image: jnp.ndarray, prefilter: bool = True) -> RootedTree:
+    """Full pipeline: image -> edge weights -> Borůvka -> rooted tree."""
+    wr, wd = grid_edge_weights(image, prefilter)
+    in_mst = boruvka_mst(wr, wd)
+    return root_tree(in_mst, wr, wd)
+
+
+def tree_filter(tree: RootedTree, values: jnp.ndarray, sigma: float = 0.1) -> jnp.ndarray:
+    """Two-pass MST filter (qx_tree_filter.cpp:61-117) via pointer doubling.
+
+    values: [N, D] (or [N]) per-node vectors. Similarity per node-parent
+    edge: sim = exp(-weight / (255*sigma)) (update_table cpp:21-25).
+
+    Up pass  S^(p) = C(p) + sum_children sim_c * S^(c)  — a linear system
+    S^ = (I - M)^-1 C with M nilpotent, solved as  prod_i (I + M^(2^i)) C:
+    each doubling round is one segment-sum over 2^i-th ancestors.
+    Down pass S(c) = sim_c * S(parent(c)) + (1 - sim_c^2) * S^(c) — same
+    doubling with pure gathers.
+    """
+    n = tree.parent.shape[0]
+    squeeze = values.ndim == 1
+    x = values[:, None] if squeeze else values
+    sim = jnp.exp(-tree.weight.astype(jnp.float32) / (255.0 * max(sigma, 0.01)))
+    sim = jnp.where(jnp.arange(n) == 0, 0.0, sim)     # root climbs nowhere
+
+    rounds = math.ceil(math.log2(max(n, 2)))
+
+    # up pass
+    par = tree.parent
+    wt = sim
+    s_up = x.astype(jnp.float32)
+    for _ in range(rounds):
+        contrib = jax.ops.segment_sum(wt[:, None] * s_up, par, num_segments=n)
+        s_up = s_up + contrib
+        wt = wt * wt[par]
+        par = par[par]
+
+    # down pass: S = sim * S(parent) + (1 - sim^2) * S_up, S(root) = S_up(root)
+    b = (1.0 - sim * sim)[:, None] * s_up
+    b = b.at[0].set(s_up[0])
+    par = tree.parent
+    wt = sim
+    s = b
+    for _ in range(rounds):
+        s = s + wt[:, None] * s[par]
+        wt = wt * wt[par]
+        par = par[par]
+    return s[:, 0] if squeeze else s

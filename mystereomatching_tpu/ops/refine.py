@@ -1,0 +1,389 @@
+"""Disparity refinement (L4): vectorized post-processing passes.
+
+TPU-native re-designs of the reference refinement suite (refine()
+stereoMatching.cpp:1138-1511). Disparity maps are int32 [H,W]; invalid
+pixels carry negative sentinels (DISP_INV=-16, DISP_OCC=-32, DISP_MIS=-48
+h:215-218; the plain LRC uses -1, cpp:2277). Each reference per-pixel
+search loop becomes a fixed set of masked dense passes.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import numpy as np
+import jax.numpy as jnp
+
+from mystereomatching_tpu.ops.arms import arm_bounded_sum
+from mystereomatching_tpu.ops.median import median_small, median_masked
+
+
+# ---------------------------------------------------------------------------
+# LR consistency (LRConsistencyCheck_normal cpp:2262-2282 / classifying 2284-2364)
+# ---------------------------------------------------------------------------
+
+def lr_consistency(d_left: jnp.ndarray, d_right: jnp.ndarray,
+                   max_diff: int = 0) -> jnp.ndarray:
+    """Plain LRC: invalidate (-1) where d<0, u-d<0, or
+    |d_L(u) - d_R(u-d)| > max_diff (cpp:2262-2282)."""
+    h, w = d_left.shape
+    u = jnp.arange(w, dtype=jnp.int32)[None, :]
+    x = u - d_left
+    ok_range = (d_left >= 0) & (x >= 0)
+    xc = jnp.clip(x, 0, w - 1)
+    dr = jnp.take_along_axis(d_right, xc, axis=1)
+    ok = ok_range & (jnp.abs(d_left - dr) <= max_diff)
+    return jnp.where(ok, d_left, -1)
+
+
+def lr_consistency_classify(d_left: jnp.ndarray, d_right: jnp.ndarray,
+                            num_disp: int, max_diff: int = 0,
+                            disp_occ: int = -32, disp_mis: int = -48) -> jnp.ndarray:
+    """Classifying LRC (cpp:2284-2364): failed pixels become DISP_MIS if
+    any d' has d_R(u-d') == d' (some right pixel maps onto u), else
+    DISP_OCC. The existence test is a scatter: right pixel x maps to
+    column x + d_R(x)."""
+    h, w = d_left.shape
+    u = jnp.arange(w, dtype=jnp.int32)[None, :]
+    x = u - d_left
+    ok_range = (d_left >= 0) & (x >= 0)
+    xc = jnp.clip(x, 0, w - 1)
+    dr = jnp.take_along_axis(d_right, xc, axis=1)
+    ok = ok_range & (jnp.abs(d_left - dr) <= max_diff)
+
+    # mark[u] = exists x: x + d_R(x) == u with 0 <= d_R(x) < num_disp
+    tgt = u + d_right
+    valid_src = (d_right >= 0) & (d_right < num_disp) & (tgt < w)
+    tgtc = jnp.clip(tgt, 0, w - 1)
+    mark = jnp.zeros((h, w), jnp.int32)
+    rows = jnp.broadcast_to(jnp.arange(h, dtype=jnp.int32)[:, None], (h, w))
+    mark = mark.at[rows, tgtc].add(valid_src.astype(jnp.int32))
+    mis = mark > 0
+    fill = jnp.where(mis, disp_mis, disp_occ)
+    return jnp.where(ok, d_left, fill)
+
+
+# ---------------------------------------------------------------------------
+# PKR (calPKR cpp:4087-4126, signDp_UsingPKR 4128-4140)
+# ---------------------------------------------------------------------------
+
+def pkr_mask(vol: jnp.ndarray, thresh: float = 0.1) -> jnp.ndarray:
+    """True where the peak ratio (c2-c1)/c2 between the two smallest costs
+    (excluding d+-1 neighbors of the best) is below thresh — ambiguous."""
+    d_, h, w = vol.shape
+    best = jnp.argmin(vol, 0)
+    c1 = jnp.min(vol, 0)
+    ds = jnp.arange(d_, dtype=jnp.int32)[:, None, None]
+    near = jnp.abs(ds - best[None]) <= 1
+    c2 = jnp.min(jnp.where(near, jnp.inf, vol), 0)
+    ratio = (c2 - c1) / jnp.maximum(c2, 1e-12)
+    return ratio < thresh
+
+
+def apply_pkr(disp: jnp.ndarray, vol: jnp.ndarray, thresh: float = 0.1,
+              disp_pkr: int = -64) -> jnp.ndarray:
+    return jnp.where(pkr_mask(vol, thresh), disp_pkr, disp)
+
+
+# ---------------------------------------------------------------------------
+# Region vote (regionVote_my cpp:7219-7277, cal_histogram_for_HV 6830-6862)
+# ---------------------------------------------------------------------------
+
+def region_vote(
+    disp: jnp.ndarray,
+    arms: jnp.ndarray,
+    num_disp: int,
+    s_thres: int = 20,
+    h_ratio: float = 0.4,
+    int_ratio_quirk: bool = True,
+) -> jnp.ndarray:
+    """One region-vote pass: for each invalid pixel, histogram the valid
+    disparities inside its cross support (rows spanned by the anchor's
+    vertical arms; per-row horizontal arms sampled at the anchor column,
+    cpp:7238-7254) and adopt the majority disparity when validNum > s_thres
+    and the majority ratio passes.
+
+    ``int_ratio_quirk`` reproduces the reference's C++ integer division in
+    `hist[dispMost] / validNum >= rv_ratio` (cpp:7266) which effectively
+    requires ALL valid support pixels to agree; disable it for the intended
+    float-ratio behavior (as in cal_histogram_for_HV cpp:6861).
+    """
+    d_ = num_disp
+    valid = disp >= 0
+    onehot = (disp[None] == jnp.arange(d_, dtype=disp.dtype)[:, None, None])
+    onehot = (onehot & valid[None]).astype(jnp.int32)  # int32: exact counts
+    # H pass with each pixel's own horizontal arms, then V pass with the
+    # anchor's vertical arms — matches the reference's loop structure.
+    h_agg = arm_bounded_sum(onehot, arms[0][None], arms[1][None], axis=2)
+    hist = arm_bounded_sum(h_agg, arms[2][None], arms[3][None], axis=1)
+    vcount = arm_bounded_sum(
+        arm_bounded_sum(valid[None].astype(jnp.int32),
+                        arms[0][None], arms[1][None], axis=2),
+        arms[2][None], arms[3][None], axis=1)[0]
+
+    disp_most = jnp.argmax(hist, 0).astype(disp.dtype)
+    n_most = jnp.max(hist, 0)
+    if int_ratio_quirk:
+        ratio_ok = n_most >= vcount  # integer-division quirk: all agree
+    else:
+        # float64-free exact ratio test: n/v >= r  <=>  n >= r*v, with r a
+        # rational-safe comparison done in float64-equivalent integers
+        ratio_ok = n_most.astype(jnp.float32) * 10 >= (
+            jnp.float32(h_ratio * 10) * vcount.astype(jnp.float32))
+    accept = (~valid) & (vcount > s_thres) & ratio_ok
+    return jnp.where(accept, disp_most, disp)
+
+
+# ---------------------------------------------------------------------------
+# Proper interpolation (properIpol cpp:7395-7490)
+# ---------------------------------------------------------------------------
+
+_PI_DIR_W = (0, 2, 2, 2, 0, -2, -2, -2, 1, 2, 2, 1, -1, -2, -2, -1)
+_PI_DIR_H = (2, 2, 0, -2, -2, -2, 0, 2, 2, 1, -1, -2, -2, -1, 1, 2)
+
+
+def _pi_offsets(search_depth: int):
+    """Cumulative (dv, du) per direction/step with the reference's C++
+    truncating half-step arithmetic (cpp:7430-7441)."""
+    def cdiv2(x):  # C++ integer division truncates toward zero
+        return int(x / 2) if x >= 0 else -int(-x / 2)
+
+    offs = np.zeros((16, search_depth, 2), np.int32)
+    for k in range(16):
+        ph, pw = _PI_DIR_H[k], _PI_DIR_W[k]
+        v = u = 0
+        for dep in range(search_depth):
+            if dep % 2 == 0:
+                v += cdiv2(ph)
+                u += cdiv2(pw)
+            else:
+                v += ph - cdiv2(ph)
+                u += pw - cdiv2(pw)
+            offs[k, dep] = (v, u)
+    return offs
+
+
+def _shift2d(x: jnp.ndarray, dv: int, du: int, fill):
+    h, w = x.shape[-2:]
+    pv0, pv1 = max(0, -dv), max(0, dv)
+    pu0, pu1 = max(0, -du), max(0, du)
+    pad = [(0, 0)] * (x.ndim - 2) + [(pv0, pv1), (pu0, pu1)]
+    p = jnp.pad(x, pad, constant_values=fill)
+    return p[..., pv0 + dv: pv0 + dv + h, pu0 + du: pu0 + du + w]
+
+
+def proper_interpolation(
+    disp: jnp.ndarray,
+    image: jnp.ndarray,
+    search_depth: int = 20,
+    disp_occ: int = -32,
+) -> jnp.ndarray:
+    """16-direction nearest-valid fill (cpp:7395-7490).
+
+    For each invalid pixel: along each of 16 directions take the first
+    valid disparity within search_depth steps and the max-channel color
+    difference to that pixel. DISP_OCC pixels adopt the minimum disparity
+    over directions (background); other invalids adopt the disparity of the
+    most color-similar direction (first minimum wins, cpp:7475-7484).
+    """
+    offs = _pi_offsets(search_depth)
+    img = image.astype(jnp.float32)
+    inval = disp < 0
+
+    dir_disp = []
+    dir_cdif = []
+    for k in range(16):
+        found = jnp.zeros(disp.shape, jnp.bool_)
+        dsp = jnp.full(disp.shape, -1, disp.dtype)
+        cdf = jnp.full(disp.shape, jnp.inf, jnp.float32)
+        for dep in range(search_depth):
+            dv, du = int(offs[k, dep, 0]), int(offs[k, dep, 1])
+            nd = _shift2d(disp, dv, du, -1)
+            nc = _shift2d(img, dv, du, 1e9)
+            hit = (~found) & (nd >= 0)
+            cd = jnp.max(jnp.abs(nc - img), axis=-1)
+            dsp = jnp.where(hit, nd, dsp)
+            cdf = jnp.where(hit, cd, cdf)
+            found = found | hit
+        dir_disp.append(dsp)
+        dir_cdif.append(cdf)
+    dd = jnp.stack(dir_disp)           # [16,H,W]
+    dc = jnp.stack(dir_cdif)
+
+    found_any = jnp.any(dd >= 0, axis=0)
+    # occlusion: min valid disparity over directions
+    occ_fill = jnp.min(jnp.where(dd >= 0, dd, 10 ** 6), axis=0)
+    # mismatch: disparity of min color-diff direction with cdif < 255 init
+    # (reference inits minDifColor=255, cpp:7477 — differences >= 255 lose)
+    dc_eff = jnp.where((dd >= 0) & (dc < 255.0), dc, jnp.inf)
+    kbest = jnp.argmin(dc_eff, axis=0)
+    mis_fill_raw = jnp.take_along_axis(dd, kbest[None], axis=0)[0]
+    mis_found = jnp.any(jnp.isfinite(dc_eff), axis=0)
+    mis_fill = jnp.where(mis_found, mis_fill_raw, disp)
+
+    is_occ = disp == disp_occ
+    fill = jnp.where(is_occ, jnp.where(found_any, occ_fill, disp), mis_fill)
+    return jnp.where(inval, fill, disp)
+
+
+# ---------------------------------------------------------------------------
+# Background interpolation (BGIpol cpp:7323-7338 + core 7010-7044)
+# ---------------------------------------------------------------------------
+
+def _nearest_valid_left(disp: jnp.ndarray) -> jnp.ndarray:
+    """Per row: value of the nearest valid pixel to the left (exclusive),
+    -1 if none. O(W) via cumulative max of last-valid index."""
+    h, w = disp.shape
+    u = jnp.arange(w, dtype=jnp.int32)[None, :]
+    idx = jnp.where(disp >= 0, u, -1)
+    # exclusive: shift right before scanning
+    idx = jnp.concatenate([jnp.full((h, 1), -1, jnp.int32), idx[:, :-1]], axis=1)
+    last = jax_cummax(idx, axis=1)
+    val = jnp.take_along_axis(disp, jnp.clip(last, 0, w - 1), axis=1)
+    return jnp.where(last >= 0, val, -1)
+
+
+def jax_cummax(x: jnp.ndarray, axis: int) -> jnp.ndarray:
+    import jax
+
+    return jax.lax.cummax(x, axis=axis)
+
+
+def bg_interpolation(disp: jnp.ndarray) -> jnp.ndarray:
+    """Horizontal nearest-valid fill taking the smaller (background)
+    disparity of the two sides (backgroundInterpolateCore cpp:7010-7044;
+    search depth 1000 = unbounded in practice)."""
+    left = _nearest_valid_left(disp)
+    right = _nearest_valid_left(disp[:, ::-1])[:, ::-1]
+    both = (left >= 0) & (right >= 0)
+    fill = jnp.where(both, jnp.minimum(left, right), jnp.maximum(left, right))
+    return jnp.where((disp < 0) & (fill >= 0), fill, disp)
+
+
+# ---------------------------------------------------------------------------
+# Weighted median (WM cpp:7340-7393)
+# ---------------------------------------------------------------------------
+
+def weighted_median(
+    disp: jnp.ndarray,
+    image: jnp.ndarray,
+    mask: jnp.ndarray,
+    num_disp: int,
+    radius: int = 9,
+    sigma_c: float = 25.0,
+    sigma_s: float = 9.0,
+) -> jnp.ndarray:
+    """19x19 bilateral-weighted median over masked pixels (cpp:7340-7393).
+
+    Weight = exp(-||dI||^2/sigma_c^2 - (dv^2+du^2)/sigma_s^2); histogram is
+    accumulated over valid neighbor disparities, but the half-weight
+    threshold uses the TOTAL weight including invalid neighbors — matching
+    the reference, whose negative-index histogram writes are lost (UB).
+    Replaces pixels where mask is True.
+    """
+    img = image.astype(jnp.float32)
+    h, w = disp.shape
+    hist = jnp.zeros((num_disp, h, w), jnp.float32)
+    wsum = jnp.zeros((h, w), jnp.float32)
+    ds = jnp.arange(num_disp, dtype=disp.dtype)[:, None, None]
+    for dv in range(-radius, radius + 1):
+        for du in range(-radius, radius + 1):
+            nd = _shift2d(disp, dv, du, -1)
+            nc = _shift2d(img, dv, du, 1e4)
+            cdis = jnp.sum((img - nc) ** 2, axis=-1)
+            wgt = jnp.exp(-cdis / (sigma_c * sigma_c)
+                          - (dv * dv + du * du) / (sigma_s * sigma_s))
+            wsum = wsum + wgt
+            hist = hist + jnp.where((ds == nd[None]), wgt[None], 0.0)
+    cum = jnp.cumsum(hist, axis=0)
+    half = wsum * 0.5
+    med = jnp.argmax(cum >= half[None], axis=0).astype(disp.dtype)
+    has = jnp.any(cum >= half[None], axis=0)
+    return jnp.where(mask & has, med, disp)
+
+
+# ---------------------------------------------------------------------------
+# Subpixel enhancement (cpp:6138-6167) + median
+# ---------------------------------------------------------------------------
+
+def subpixel_enhance(disp: jnp.ndarray, vol: jnp.ndarray,
+                     truncate_like_reference: bool = False) -> jnp.ndarray:
+    """Quadratic subpixel refinement from the cost volume, then the caller
+    typically applies a 3x3 median. The reference accidentally truncates
+    the result back to short (cpp:6154 `disp -= diff` on a short) — set
+    ``truncate_like_reference`` to reproduce; default returns float."""
+    d_, h, w = vol.shape
+    inner = (disp > 0) & (disp < d_ - 1)
+    d0 = jnp.clip(disp, 1, d_ - 2)
+    cm = jnp.take_along_axis(vol, (d0 - 1)[None], 0)[0]
+    c0 = jnp.take_along_axis(vol, d0[None], 0)[0]
+    cp = jnp.take_along_axis(vol, (d0 + 1)[None], 0)[0]
+    denom = 2.0 * (cp + cm - 2.0 * c0)
+    diff = jnp.where(jnp.abs(denom) > 1e-12, (cp - cm) / denom, 0.0)
+    diff = jnp.where((diff > -1) & (diff < 1), diff, 0.0)
+    ref = disp.astype(jnp.float32) - diff
+    if truncate_like_reference:
+        ref = jnp.trunc(ref)
+    return jnp.where(inner, ref, disp.astype(jnp.float32))
+
+
+def median_blur_disp(disp: jnp.ndarray, ksize: int = 3) -> jnp.ndarray:
+    """3x3 median blur of the disparity map (refine() cpp:1499). Sentinels
+    participate as values, matching cv::medianBlur on CV_16S."""
+    return median_small(disp, ksize)
+
+
+# ---------------------------------------------------------------------------
+# Discontinuity adjustment (cpp:6057-6136)
+# ---------------------------------------------------------------------------
+
+def discontinuity_adjust(disp: jnp.ndarray, vol: jnp.ndarray) -> jnp.ndarray:
+    """Along disparity-edge normals, replace each edge pixel's disparity by
+    a lower-cost neighbor's (cpp:6057-6136). Edges come from a simplified
+    Canny (Sobel + NMS + double threshold) on the equalized disparity map.
+    """
+    from mystereomatching_tpu.ops.canny import canny_edges
+
+    d8 = jnp.clip(disp, 0, 255).astype(jnp.uint8)
+    edges = canny_edges(d8, low=20.0, high=60.0, equalize=True, blur_sigma=4.0)
+
+    e = edges
+    nb = {(dv, du): _shift2d(e, dv, du, False)
+          for dv in (-1, 0, 1) for du in (-1, 0, 1)}
+    # direction pairs as in the reference's table (cpp:6068-6069)
+    diag1 = nb[(-1, -1)] & nb[(1, 1)]                  # direction 4: (-1,1)/(1,-1)
+    diag2 = nb[(-1, 1)] & nb[(1, -1)]                  # direction 0: (-1,-1)/(1,1)
+    vert = ((nb[(-1, 0)] | nb[(-1, -1)] | nb[(-1, 1)])
+            & (nb[(1, 0)] | nb[(1, -1)] | nb[(1, 1)]))  # direction 6: (0,-1)/(0,1)
+    horz = ((nb[(-1, -1)] | nb[(0, -1)] | nb[(1, -1)])
+            & (nb[(-1, 1)] | nb[(0, 1)] | nb[(1, 1)]))  # direction 2: (1,0)/(-1,0)
+
+    pairs = {4: ((-1, 1), (1, -1)), 0: ((-1, -1), (1, 1)),
+             6: ((0, -1), (0, 1)), 2: ((1, 0), (-1, 0))}
+    dir_sel = jnp.where(diag1, 4, jnp.where(diag2, 0,
+                jnp.where(vert, 6, jnp.where(horz, 2, -1))))
+
+    def cost_at(d):
+        dc = jnp.clip(d, 0, vol.shape[0] - 1)
+        return jnp.take_along_axis(vol, dc[None], 0)[0]
+
+    cost0 = cost_at(disp)
+    out = disp
+    for sel, ((dv1, du1), (dv2, du2)) in pairs.items():
+        d1 = _shift2d(disp, dv1, du1, -1)
+        d2 = _shift2d(disp, dv2, du2, -1)
+        c1 = jnp.where(d1 >= 0, cost_at_shifted(vol, d1, dv1, du1), jnp.inf)
+        c2 = jnp.where(d2 >= 0, cost_at_shifted(vol, d2, dv2, du2), jnp.inf)
+        best = jnp.where(c1 < cost0, d1, disp)
+        bestc = jnp.minimum(c1, cost0)
+        best = jnp.where(c2 < bestc, d2, best)
+        sel_mask = edges & (dir_sel == sel) & (disp >= 0)
+        out = jnp.where(sel_mask, best, out)
+    return out
+
+
+def cost_at_shifted(vol: jnp.ndarray, d: jnp.ndarray, dv: int, du: int) -> jnp.ndarray:
+    """vol[d(v,u), v+dv, u+du] — the neighbor's cost at its own disparity."""
+    sh = _shift2d(vol, dv, du, jnp.inf)
+    dc = jnp.clip(d, 0, vol.shape[0] - 1)
+    return jnp.take_along_axis(sh, dc[None], 0)[0]

@@ -1,0 +1,185 @@
+"""Semi-global matching on TPU: vectorized multi-direction scanline DP.
+
+Re-design of the reference SGM (costScan stereoMatching.cpp:1983-2029,
+updateCost h:2205-2280, sgm cpp:6204-6224): the per-pixel raster scan with a
+carried D-vector dependency becomes a ``lax.scan`` along the scan axis whose
+element is a full [D, W] (or [D, H]) plane — the VPU processes an entire
+image line x disparity per step. Diagonal directions are handled by skewing
+rows so the diagonal predecessor becomes the vertical predecessor, then
+running the same vertical scan core.
+
+Recurrence (updateCost h:2268-2274):
+    Lr(p,d) = C(p,d) + min(Lr(p-r,d),
+                           Lr(p-r,d-1)+P1, Lr(p-r,d+1)+P1,
+                           min_d' Lr(p-r,d') + P2) - min_d' Lr(p-r,d')
+with adaptive penalties: P1,P2 divided by sgm_reduCoeffi1(=4) where the
+max-channel color difference between p and its predecessor in the scan's
+reference image exceeds sgm_corDifThres(=15) (h:2219-2264; only the D1 term
+is active in the reference). Scan-edge pixels take Lr = C (h:2277-2279).
+
+Final volume = sum over directions (gen_sgm_vm cpp:2031-2056). Default
+directions: predecessors (+1,0), (-1,0), (0,+1), (0,-1) (cpp:6206-6214);
+the 8-direction set adds the four diagonals.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+# predecessor offsets (rv, ru), reference order (cpp:6206-6208)
+DIRECTIONS_8: Tuple[Tuple[int, int], ...] = (
+    (1, 0), (-1, 0), (0, 1), (0, -1),
+    (1, -1), (1, 1), (-1, 1), (-1, -1),
+)
+
+
+def penalty_scale(image: jnp.ndarray, rv: int, ru: int,
+                  thres: int = 15, coeff: float = 4.0) -> jnp.ndarray:
+    """Per-pixel P1/P2 multiplier for predecessor offset (rv, ru).
+
+    image: [H,W,3] reference image of this volume. D1 = max-channel
+    |I(p) - I(p+r)|; scale = 1/coeff where D1 > thres else 1 (h:2219-2264).
+    Out-of-image predecessors produce edge pixels whose Lr=C anyway.
+    """
+    img = image.astype(jnp.float32)
+    shifted = jnp.roll(img, shift=(-rv, -ru), axis=(0, 1))
+    d1 = jnp.max(jnp.abs(img - shifted), axis=-1)
+    return jnp.where(d1 > thres, 1.0 / coeff, 1.0)
+
+
+def _scan_down(vol: jnp.ndarray, pscale: jnp.ndarray, p1: float, p2: float,
+               in_image: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """Core scan: predecessor directly above (rv,ru)=(-1,0), top->bottom.
+
+    vol: [D,H,W]; pscale: [H,W]; in_image: [H,W] bool mask (for skewed
+    diagonal buffers) — cells outside force L=0 so that the first in-image
+    cell of each scan line behaves as a scan edge (Lr=C, since
+    min(0, ..., P2*s) - 0 = 0).
+    """
+    d_, h, w = vol.shape
+    vol_t = jnp.moveaxis(vol, 1, 0)                     # [H, D, W]
+    ps_t = pscale[:, None, :]                           # [H, 1, W]
+    if in_image is None:
+        mask_t = jnp.ones((h, 1, w), vol.dtype)
+    else:
+        mask_t = in_image[:, None, :].astype(vol.dtype)
+    big = jnp.asarray(jnp.finfo(vol.dtype).max, vol.dtype)
+
+    def step(l_prev, inp):
+        c, ps, m = inp                                  # [D,W],[1,W],[1,W]
+        min_l = jnp.min(l_prev, axis=0, keepdims=True)  # [1,W]
+        p1s = p1 * ps
+        up = jnp.concatenate([jnp.full((1, w), big, vol.dtype), l_prev[:-1]], 0)
+        dn = jnp.concatenate([l_prev[1:], jnp.full((1, w), big, vol.dtype)], 0)
+        best = jnp.minimum(jnp.minimum(l_prev, min_l + p2 * ps),
+                           jnp.minimum(up, dn) + p1s)
+        l_cur = (c + best - min_l) * m                  # mask padding cells to 0
+        return l_cur, l_cur
+
+    # zero initial state makes row 0 produce Lr = C (edge semantics)
+    init = jnp.zeros((d_, w), vol.dtype)
+    _, out = lax.scan(step, init, (vol_t, ps_t, mask_t))
+    return jnp.moveaxis(out, 0, 1)                      # [D,H,W]
+
+
+def _skew(x: jnp.ndarray, sign: int, fill: float) -> jnp.ndarray:
+    """Skew rows of [..., H, W] into [..., H, W+H-1]: row v goes to columns
+    shifted by +v (sign=+1) or (H-1-v) (sign=-1), so that diagonal
+    predecessors become vertical."""
+    h, w = x.shape[-2:]
+    ws = w + h - 1
+    v = jnp.arange(h, dtype=jnp.int32)[:, None]
+    s = jnp.arange(ws, dtype=jnp.int32)[None, :]
+    shift = v if sign > 0 else (h - 1 - v)
+    u = s - shift                                       # source column
+    ok = (u >= 0) & (u < w)
+    uc = jnp.clip(u, 0, w - 1)
+    idx = jnp.broadcast_to(uc, (h, ws))
+    out = jnp.take_along_axis(
+        jnp.broadcast_to(x[..., :, :], x.shape[:-2] + (h, w)),
+        jnp.broadcast_to(idx, x.shape[:-2] + (h, ws)), axis=-1)
+    return jnp.where(ok, out, jnp.asarray(fill, x.dtype)), ok
+
+
+def _unskew(x: jnp.ndarray, sign: int, w: int) -> jnp.ndarray:
+    h = x.shape[-2]
+    v = jnp.arange(h, dtype=jnp.int32)[:, None]
+    u = jnp.arange(w, dtype=jnp.int32)[None, :]
+    shift = v if sign > 0 else (h - 1 - v)
+    idx = jnp.broadcast_to(u + shift, (h, w))
+    return jnp.take_along_axis(x, jnp.broadcast_to(idx, x.shape[:-2] + (h, w)),
+                               axis=-1)
+
+
+def scan_direction(vol: jnp.ndarray, image: jnp.ndarray, rv: int, ru: int,
+                   p1: float, p2: float, thres: int, coeff: float) -> jnp.ndarray:
+    """One direction's path-cost volume L_r, [D,H,W]."""
+    ps = penalty_scale(image, rv, ru, thres, coeff)
+
+    flip_h = rv > 0 or (rv == 0 and ru > 0)  # scan opposite to predecessor
+    # normalize to a predecessor with rv' in {-1, 0}, scanning forward
+    if rv == 0:
+        # horizontal: transpose W<->H so predecessor becomes vertical
+        volT = jnp.swapaxes(vol, 1, 2)
+        psT = jnp.swapaxes(ps, 0, 1)
+        if ru > 0:                                       # predecessor right
+            volT, psT = volT[:, ::-1], psT[::-1]
+        out = _scan_down(volT, psT, p1, p2)
+        if ru > 0:
+            out = out[:, ::-1]
+        return jnp.swapaxes(out, 1, 2)
+
+    volF, psF = (vol[:, ::-1], ps[::-1]) if rv > 0 else (vol, ps)
+    ruF = ru
+    if ru == 0:
+        outF = _scan_down(volF, psF, p1, p2)
+    else:
+        # diagonal: skew so predecessor (-1, ru) becomes (-1, 0).
+        # For ru=-1 use s=u+(H-1-v); for ru=+1 use s=u+v.
+        sign = 1 if ruF > 0 else -1
+        volS, ok = _skew(volF, sign, 0.0)
+        psS, _ = _skew(psF, sign, 1.0)
+        outS = _scan_down(volS, psS, p1, p2, in_image=ok)
+        outF = _unskew(outS, sign, vol.shape[-1])
+    return outF[:, ::-1] if rv > 0 else outF
+
+
+def sgm(
+    vol: jnp.ndarray,
+    image: jnp.ndarray,
+    num_directions: int = 4,
+    p1: float = 1.0,
+    p2: float = 3.0,
+    cor_dif_thres: int = 15,
+    redu_coeff: float = 4.0,
+) -> jnp.ndarray:
+    """Full SGM: sum of per-direction path costs (sgm cpp:6204-6224).
+
+    vol: [D,H,W] matching cost; image: [H,W,3] reference image of this
+    volume (I_c[0] for the left volume, I_c[1] for the right, h:2219-2230).
+    """
+    dirs = DIRECTIONS_8[:num_directions]
+    out = jnp.zeros_like(vol)
+    for rv, ru in dirs:
+        out = out + scan_direction(vol, image, rv, ru, p1, p2,
+                                   cor_dif_thres, redu_coeff)
+    return out
+
+
+def sgm_residual(vol: jnp.ndarray, image: jnp.ndarray, horizontal: bool,
+                 **kw) -> jnp.ndarray:
+    """sgm_hori / sgm_verti (cpp:6227-6269): 2-direction scan minus the
+    input volume (residual form used by the experimental paths)."""
+    dirs = ((0, 1), (0, -1)) if horizontal else ((1, 0), (-1, 0))
+    out = jnp.zeros_like(vol)
+    for rv, ru in dirs:
+        out = out + scan_direction(vol, image, rv, ru,
+                                   kw.get("p1", 1.0), kw.get("p2", 3.0),
+                                   kw.get("cor_dif_thres", 15),
+                                   kw.get("redu_coeff", 4.0))
+    return out - vol

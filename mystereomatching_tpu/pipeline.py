@@ -1,0 +1,169 @@
+"""End-to-end stereo pipeline: cost -> aggregation -> optimization -> refine.
+
+The TPU-native equivalent of the reference call stack (SURVEY.md §3.1):
+``costCalculate()`` (cpp:945) -> ``dispOptimize()`` (cpp:1046) ->
+``refine()`` (cpp:1138), composed as one pure jittable function over
+device-resident arrays. Stage selection is static (closed over from
+:class:`MatchConfig`), so XLA sees a single fused program per config.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from mystereomatching_tpu.config import MatchConfig
+from mystereomatching_tpu.ops import aggregation as agg_ops
+from mystereomatching_tpu.ops import arms as arms_ops
+from mystereomatching_tpu.ops import cost as cost_ops
+from mystereomatching_tpu.ops import refine as refine_ops
+from mystereomatching_tpu.ops import sgm as sgm_ops
+from mystereomatching_tpu.ops import wta as wta_ops
+
+
+def to_gray(img: jnp.ndarray) -> jnp.ndarray:
+    """OpenCV-style RGB->gray with round-to-nearest (cvtColor weights)."""
+    w = jnp.asarray([0.299, 0.587, 0.114], jnp.float32)
+    return jnp.round(img.astype(jnp.float32) @ w)
+
+
+def _needs_arms_for_cost(cfg: MatchConfig) -> bool:
+    grad_costs = {"grad", "census_grad", "ad_grad", "ad_census_grad"}
+    return cfg.cost in grad_costs and cfg.grad_use_2dir and cfg.grad_fuse_adaptive
+
+
+def compute_volumes(left, right, cfg: MatchConfig):
+    """L1+L2: cost volumes for the needed views, aggregated.
+
+    Returns (vols, arms_pair): vols is a dict {0: volL, 1: volR?};
+    arms_pair is (HVL0, HVL1) cross arms or (None, None).
+    """
+    gl, gr = to_gray(left), to_gray(right)
+    n_imgs = 2 if (cfg.compute_both_volumes and cfg.do_lr_consis) else 1
+
+    need_arms = _needs_arms_for_cost(cfg) or cfg.aggregation == "cbca" or (
+        cfg.do_refine and cfg.do_region_vote)
+    arms_pair = (None, None)
+    if need_arms:
+        arms_pair = tuple(
+            arms_ops.cross_arms(img, cfg.cbca_cross_l, cfg.cbca_cross_l_out,
+                                cfg.cbca_c_thresh, cfg.cbca_c_thresh_out,
+                                cfg.cbca_min_arm)
+            for img in (left, right))
+
+    vols = {}
+    for lor in range(n_imgs):
+        vol = cost_ops.compute_cost_volume(left, right, gl, gr, cfg, lor,
+                                           arms=arms_pair[lor])
+        if cfg.aggregation == "cbca":
+            arms_int = arms_ops.intersect_arms(arms_pair[0], arms_pair[1],
+                                               cfg.num_disp, lor)
+            vol = agg_ops.cbca(vol, arms_int, cfg.cbca_iterations)
+        else:
+            img, g = (left, gl) if lor == 0 else (right, gr)
+            vol = agg_ops.aggregate(vol, cfg, img, g)
+        vols[lor] = vol
+    return vols, arms_pair
+
+
+def optimize(vols, left, right, cfg: MatchConfig):
+    """L3 (dispOptimize cpp:1046-1136): SGM/SO per volume then WTA.
+
+    Returns (d_left, d_right_or_None, vol_left_after_opt)."""
+    images = {0: left, 1: right}
+    if cfg.optimization == "sgm":
+        for lor in list(vols):
+            vols[lor] = sgm_ops.sgm(
+                vols[lor], images[lor], cfg.sgm_scan_num, cfg.sgm_p1,
+                cfg.sgm_p2, cfg.sgm_cor_dif_thres, cfg.sgm_redu_coeff)
+    elif cfg.optimization == "so":
+        from mystereomatching_tpu.ops import so as so_ops
+
+        d0 = so_ops.scanline_optimize(vols[0], left, cfg)
+        d1 = None
+        if 1 in vols:
+            d1 = so_ops.scanline_optimize(vols[1], right, cfg)
+        return d0, d1, vols[0]
+
+    dl = wta_ops.wta(vols[0], cfg.choose_small)
+    dr = wta_ops.wta(vols[1], cfg.choose_small) if 1 in vols else None
+    return dl, dr, vols[0]
+
+
+def refine(d_left, d_right, vol_left, left, arms0, cfg: MatchConfig):
+    """L4 (refine() cpp:1347-1511): fixed stage order on the left map."""
+    d = d_left
+    if cfg.do_lr_consis and d_right is not None:
+        if cfg.lrc_classify:
+            d = refine_ops.lr_consistency_classify(
+                d, d_right, cfg.num_disp, cfg.lr_max_diff,
+                cfg.disp_occ, cfg.disp_mis)
+        else:
+            d = refine_ops.lr_consistency(d, d_right, cfg.lr_max_diff)
+    lrc_fail = d < 0
+    if cfg.do_pkr:
+        d = refine_ops.apply_pkr(d, vol_left, cfg.pkr_thresh, cfg.disp_pkr)
+    if cfg.do_region_vote:
+        for _ in range(cfg.region_vote_iters):
+            d = refine_ops.region_vote(d, arms0, cfg.num_disp, cfg.rv_s_thres,
+                                       cfg.rv_h_ratio, cfg.rv_int_ratio_quirk)
+    if cfg.do_cbbi:
+        from mystereomatching_tpu.ops import cbbi as cbbi_ops
+
+        d = cbbi_ops.cbbi(d, left, cfg)
+    if cfg.do_proper_ipol:
+        for _ in range(cfg.proper_ipol_iters):
+            d = refine_ops.proper_interpolation(d, left, cfg.pi_search_depth,
+                                                cfg.disp_occ)
+    if cfg.do_bg_ipol:
+        d = refine_ops.bg_interpolation(d)
+    if cfg.do_wm:
+        d = refine_ops.weighted_median(d, left, lrc_fail, cfg.num_disp,
+                                       cfg.wm_win, cfg.wm_sigma_c, cfg.wm_sigma_s)
+    if cfg.do_da:
+        d = refine_ops.discontinuity_adjust(d, vol_left)
+    if cfg.do_subpixel:
+        sub = refine_ops.subpixel_enhance(d, vol_left)
+        sub = refine_ops.median_blur_disp(sub, cfg.median_kernel)
+        return sub  # float map (reference keeps a separate SE buffer)
+    if cfg.do_last_median:
+        d = refine_ops.median_blur_disp(d, cfg.median_kernel)
+    return d
+
+
+def match_pair(left: jnp.ndarray, right: jnp.ndarray, cfg: MatchConfig) -> Dict[str, jnp.ndarray]:
+    """Full pipeline. left/right: [H,W,3] uint8/float32 RGB.
+
+    Returns dict with 'disparity' (float32 [H,W], negatives = sentinel
+    codes), 'disp_left_raw', 'disp_right_raw' (pre-refinement int32).
+    """
+    left = left.astype(jnp.float32)
+    right = right.astype(jnp.float32)
+    vols, arms_pair = compute_volumes(left, right, cfg)
+    dl, dr, vol0 = optimize(vols, left, right, cfg)
+    out = {"disp_left_raw": dl}
+    if dr is not None:
+        out["disp_right_raw"] = dr
+    if cfg.do_refine:
+        d = refine(dl, dr, vol0, left, arms_pair[0], cfg)
+    else:
+        d = dl
+    out["disparity"] = d.astype(jnp.float32)
+    return out
+
+
+class StereoPipeline:
+    """Jitted pipeline wrapper; one compiled executable per (config, shape)."""
+
+    def __init__(self, cfg: MatchConfig):
+        self.cfg = cfg.validate()
+        self._fn = jax.jit(functools.partial(match_pair, cfg=self.cfg))
+
+    def __call__(self, left, right) -> Dict[str, jnp.ndarray]:
+        return self._fn(jnp.asarray(left), jnp.asarray(right))
+
+    def lower(self, left, right):
+        return self._fn.lower(jnp.asarray(left), jnp.asarray(right))

@@ -1,0 +1,147 @@
+"""MST + tree filter: Borůvka vs scipy Kruskal; doubling filter vs brute force."""
+
+import numpy as np
+import pytest
+
+
+def _grid_graph(wr, wd):
+    h, w = wr.shape[0], wr.shape[1] + 1
+    edges = []
+    for v in range(h):
+        for u in range(w - 1):
+            edges.append((v * w + u, v * w + u + 1, int(wr[v, u])))
+    for u in range(w):
+        for v in range(h - 1):
+            edges.append((v * w + u, (v + 1) * w + u, int(wd[v, u])))
+    return edges
+
+
+def _kruskal_oracle(edges, n):
+    """Kruskal with (weight, index) order — the reference's stable counting
+    sort (qx_basic.h:76) + union-find scan."""
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    chosen = []
+    order = sorted(range(len(edges)), key=lambda i: (edges[i][2], i))
+    for i in order:
+        a, b, _ = edges[i]
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+            chosen.append(i)
+    return set(chosen)
+
+
+@pytest.fixture(scope="module")
+def weights():
+    r = np.random.default_rng(17)
+    h, w = 10, 13
+    wr = r.integers(0, 40, (h, w - 1)).astype(np.int32)
+    wd = r.integers(0, 40, (h - 1, w)).astype(np.int32)
+    return wr, wd
+
+
+def test_boruvka_weight_matches_kruskal(weights):
+    import jax.numpy as jnp
+    from mystereomatching_tpu.ops.mst import boruvka_mst, _flatten_edges
+
+    wr, wd = weights
+    h, w = wr.shape[0], wr.shape[1] + 1
+    got_mask = np.asarray(boruvka_mst(jnp.asarray(wr), jnp.asarray(wd)))
+    eu, ev, ew = (np.asarray(x) for x in _flatten_edges(jnp.asarray(wr), jnp.asarray(wd)))
+
+    edges = [(int(eu[i]), int(ev[i]), int(ew[i])) for i in range(len(eu))]
+    want = _kruskal_oracle(edges, h * w)
+
+    assert got_mask.sum() == h * w - 1, "MST must have N-1 edges"
+    got_weight = sum(e[2] for i, e in enumerate(edges) if got_mask[i])
+    want_weight = sum(edges[i][2] for i in want)
+    assert got_weight == want_weight, "MST total weight must match Kruskal"
+
+
+def test_rooted_tree_is_valid(weights):
+    import jax.numpy as jnp
+    from mystereomatching_tpu.ops.mst import boruvka_mst, root_tree
+
+    wr, wd = weights
+    h, w = wr.shape[0], wr.shape[1] + 1
+    n = h * w
+    mask = boruvka_mst(jnp.asarray(wr), jnp.asarray(wd))
+    tree = root_tree(mask, jnp.asarray(wr), jnp.asarray(wd))
+    par = np.asarray(tree.parent)
+
+    assert par[0] == 0
+    # every non-root node reaches the root (acyclic, connected)
+    for v in range(n):
+        seen = set()
+        x = v
+        while x != 0:
+            assert x not in seen, f"cycle at {v}"
+            seen.add(x)
+            x = par[x]
+    # parent edges are grid-adjacent
+    for v in range(1, n):
+        dv = abs(v // w - par[v] // w)
+        du = abs(v % w - par[v] % w)
+        assert dv + du == 1
+
+
+def test_tree_filter_matches_bruteforce(weights):
+    import jax.numpy as jnp
+    from mystereomatching_tpu.ops.mst import boruvka_mst, root_tree, tree_filter
+
+    wr, wd = weights
+    h, w = wr.shape[0], wr.shape[1] + 1
+    n = h * w
+    sigma = 0.1
+    mask = boruvka_mst(jnp.asarray(wr), jnp.asarray(wd))
+    tree = root_tree(mask, jnp.asarray(wr), jnp.asarray(wd))
+    par = np.asarray(tree.parent)
+    wgt = np.asarray(tree.weight)
+
+    r = np.random.default_rng(0)
+    vals = r.random((n, 3)).astype(np.float32)
+
+    got = np.asarray(tree_filter(tree, jnp.asarray(vals), sigma))
+
+    # brute force: S(p) = sum_q prod(sim along path p..q) * C(q)
+    sim = np.exp(-wgt / (255.0 * sigma))
+    # build adjacency with per-edge sim (edge v<->par[v] has sim[v])
+    adj = {i: [] for i in range(n)}
+    for v in range(1, n):
+        adj[v].append((par[v], sim[v]))
+        adj[par[v]].append((v, sim[v]))
+
+    want = np.zeros_like(vals)
+    for p in range(n):
+        # BFS accumulating path products
+        stack = [(p, 1.0, -1)]
+        while stack:
+            q, wprod, prev = stack.pop()
+            want[p] += wprod * vals[q]
+            for nb, s in adj[q]:
+                if nb != prev:
+                    stack.append((nb, wprod * s, q))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_nl_aggregate_smoke():
+    import jax.numpy as jnp
+    from mystereomatching_tpu.ops.nl import nl_aggregate
+
+    r = np.random.default_rng(1)
+    img = r.integers(0, 256, (12, 16, 3)).astype(np.uint8)
+    vol = r.random((4, 12, 16)).astype(np.float32)
+    out = np.asarray(nl_aggregate(jnp.asarray(vol), jnp.asarray(img, jnp.float32)))
+    assert out.shape == vol.shape
+    assert np.all(np.isfinite(out))
+    # filtering preserves the scale of a constant volume after normalization
+    cvol = jnp.ones((2, 12, 16), jnp.float32) * 5.0
+    cout = np.asarray(nl_aggregate(cvol, jnp.asarray(img, jnp.float32)))
+    np.testing.assert_allclose(cout, 5.0, rtol=1e-4)

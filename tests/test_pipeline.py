@@ -1,0 +1,61 @@
+"""Golden-pipeline tests on synthetic stereo pairs (SURVEY.md §4b)."""
+
+import numpy as np
+import pytest
+
+
+def test_fast_config_quality(small_pair):
+    """Config 1 (BASELINE.json): census + WTA must solve an easy synthetic
+    scene reasonably well on non-occluded pixels."""
+    from mystereomatching_tpu import StereoPipeline
+    from mystereomatching_tpu.config import fast_config
+    from mystereomatching_tpu.utils.metrics import evaluate
+
+    p = small_pair
+    pipe = StereoPipeline(fast_config(max_disp=p.max_disp))
+    out = pipe(p.left, p.right)
+    m = evaluate(out["disparity"], p.gt,
+                 {"nonocc": np.asarray(p.masks["nonocc"])}, thresh=1.0)
+    assert float(m["nonocc_bad"]) < 0.25, f"bad-1.0 too high: {m}"
+
+
+def test_default_config_quality(small_pair):
+    """Default pipeline (censusGrad+CBCA+SGM+refine) must beat plain WTA."""
+    from mystereomatching_tpu import StereoPipeline
+    from mystereomatching_tpu.config import default_config, fast_config
+    from mystereomatching_tpu.utils.metrics import evaluate
+
+    p = small_pair
+    pipe = StereoPipeline(default_config(max_disp=p.max_disp))
+    out = pipe(p.left, p.right)
+    m = evaluate(out["disparity"], p.gt,
+                 {"nonocc": np.asarray(p.masks["nonocc"])}, thresh=1.0)
+
+    fast = StereoPipeline(fast_config(max_disp=p.max_disp))
+    mf = evaluate(fast(p.left, p.right)["disparity"], p.gt,
+                  {"nonocc": np.asarray(p.masks["nonocc"])}, thresh=1.0)
+
+    assert float(m["nonocc_bad"]) < 0.15, f"default pipeline bad-1.0: {m}"
+    assert float(m["nonocc_bad"]) <= float(mf["nonocc_bad"]) + 0.02
+
+
+def test_pipeline_is_jittable_and_pure(small_pair):
+    """Same input twice -> identical output (pure function under jit)."""
+    from mystereomatching_tpu import StereoPipeline
+    from mystereomatching_tpu.config import fast_config
+
+    p = small_pair
+    pipe = StereoPipeline(fast_config(max_disp=p.max_disp))
+    a = np.asarray(pipe(p.left, p.right)["disparity"])
+    b = np.asarray(pipe(p.left, p.right)["disparity"])
+    np.testing.assert_array_equal(a, b)
+
+
+def test_metrics_counts_invalid_as_errors():
+    import jax.numpy as jnp
+    from mystereomatching_tpu.utils.metrics import bad_pixel_stats
+
+    gt = jnp.ones((4, 4)) * 5.0
+    disp = jnp.full((4, 4), 5.0).at[0, 0].set(-1.0)  # one invalid
+    bad, rms = bad_pixel_stats(disp, gt)
+    assert abs(float(bad) - 1 / 16) < 1e-6
