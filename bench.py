@@ -1,0 +1,69 @@
+"""Benchmark: full default pipeline throughput on one chip.
+
+Measures the reference's measured configuration (BASELINE.md: censusGrad +
+CBCA(2 iter) + 4-path SGM + LRC + region-vote x2 + properIpol x2 + median)
+on a Teddy-sized problem (375x450, D=60) and reports
+MP·disparities/second per chip.
+
+``vs_baseline`` compares against the reference's single-thread CPU
+implementation. The reference publishes no numbers (BASELINE.md), so the
+baseline constant below is our measured estimate of the same default
+pipeline at Teddy scale on a modern x86 core: the reference's own
+time.txt instrumentation bounds the full pipeline at multiple seconds per
+Teddy frame; we pin 5.0 MP·disp/s (≈2 s/frame), generous to the CPU.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import time
+
+# Reference CPU estimate (MP·disp/s) for the default pipeline at Teddy scale.
+CPU_BASELINE_MPDS = 5.0
+
+H, W, D = 375, 450, 60
+WARMUP = 2
+ITERS = 5
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from mystereomatching_tpu.config import default_config
+    from mystereomatching_tpu.pipeline import StereoPipeline
+    from mystereomatching_tpu.data import make_synthetic_pair
+
+    pair = make_synthetic_pair(h=H, w=W, max_disp=D - 1, seed=0)
+    cfg = default_config(max_disp=D - 1)
+    pipe = StereoPipeline(cfg)
+
+    left = jnp.asarray(pair.left)
+    right = jnp.asarray(pair.right)
+
+    def sync(o):
+        # jax.block_until_ready is unreliable under the axon PJRT tunnel
+        # (buffers report ready before execution completes) — force a real
+        # device->host read of a reduction instead.
+        return float(jnp.sum(o["disparity"]))
+
+    for _ in range(WARMUP):
+        sync(pipe(left, right))
+
+    t0 = time.perf_counter()
+    for _ in range(ITERS):
+        sync(pipe(left, right))
+    dt = (time.perf_counter() - t0) / ITERS
+
+    mpds = H * W * D / dt / 1e6
+    print(json.dumps({
+        "metric": "default_pipeline_throughput_teddy",
+        "value": round(mpds, 3),
+        "unit": "MP*disp/s per chip",
+        "vs_baseline": round(mpds / CPU_BASELINE_MPDS, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

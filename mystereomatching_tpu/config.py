@@ -145,6 +145,13 @@ class MatchConfig:
     choose_small: bool = True          # ChooseSmall (h:208): argmin vs argmax
     uniqueness_ratio: float = 0.95     # uniquenessRatio_2small (h:210)
 
+    # --- vmTop candidate voting (h:322-330) ---------------------------------
+    do_vmtop: bool = False             # Do_vmTop
+    vmtop_num: int = 2                 # vmTop_Num = M (main_.cpp:57)
+    vmtop_thres: float = 1.09          # vmTop_thres = lamc*0.01 (main_.cpp:58)
+    vmtop_method: int = 0              # vmTop_method
+    vmtop_ts: int = 10                 # ts: pair-consistency threshold (main_.cpp:59)
+
     # --- refinement parameters ----------------------------------------------
     lr_max_diff: int = 0               # LRmaxDiff (h:212)
     lrc_classify: bool = False         # classifying LRC (OCC vs MIS) (cpp:2284)

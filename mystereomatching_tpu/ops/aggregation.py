@@ -89,10 +89,13 @@ def aggregate(
     image: jnp.ndarray,
     gray: jnp.ndarray,
     arms_int: Optional[jnp.ndarray] = None,
+    other_image: Optional[jnp.ndarray] = None,
+    lor: int = 0,
 ) -> jnp.ndarray:
     """Aggregation dispatcher (cost-volume filtering stage of costCalculate).
 
-    image/gray: the reference image of this volume (guide for GF/NL/AWS).
+    image/gray: the reference image of this volume (guide for GF/NL/AWS);
+    other_image: the opposite view (AWS joint weights).
     arms_int: precomputed [4,D,H,W] intersected arms for CBCA.
     """
     method = cfg.aggregation
@@ -124,5 +127,7 @@ def aggregate(
     if method == "aws":
         from mystereomatching_tpu.ops.aws import aws_aggregate
 
-        return aws_aggregate(vol, image, cfg)
+        left_img = image if lor == 0 else other_image
+        right_img = other_image if lor == 0 else image
+        return aws_aggregate(vol, left_img, cfg, right_img, lor=lor)
     raise ValueError(f"unknown aggregation {method!r}")

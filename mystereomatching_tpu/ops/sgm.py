@@ -53,13 +53,19 @@ def penalty_scale(image: jnp.ndarray, rv: int, ru: int,
 
 
 def _scan_down(vol: jnp.ndarray, pscale: jnp.ndarray, p1: float, p2: float,
-               in_image: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+               in_image: Optional[jnp.ndarray] = None,
+               init: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """Core scan: predecessor directly above (rv,ru)=(-1,0), top->bottom.
 
     vol: [D,H,W]; pscale: [H,W]; in_image: [H,W] bool mask (for skewed
     diagonal buffers) — cells outside force L=0 so that the first in-image
     cell of each scan line behaves as a scan edge (Lr=C, since
     min(0, ..., P2*s) - 0 = 0).
+
+    init: optional [D, W] carried Lr state for row 0's predecessor — used
+    by the multi-chip row-band pipeline (the neighbor band's last Lr row).
+    The default zero state makes row 0 produce Lr = C (scan-edge
+    semantics, h:2277-2279).
     """
     d_, h, w = vol.shape
     vol_t = jnp.moveaxis(vol, 1, 0)                     # [H, D, W]
@@ -81,8 +87,9 @@ def _scan_down(vol: jnp.ndarray, pscale: jnp.ndarray, p1: float, p2: float,
         l_cur = (c + best - min_l) * m                  # mask padding cells to 0
         return l_cur, l_cur
 
-    # zero initial state makes row 0 produce Lr = C (edge semantics)
-    init = jnp.zeros((d_, w), vol.dtype)
+    if init is None:
+        # derive from vol so sharding/varying-axis types match under shard_map
+        init = vol_t[0] * 0
     _, out = lax.scan(step, init, (vol_t, ps_t, mask_t))
     return jnp.moveaxis(out, 0, 1)                      # [D,H,W]
 

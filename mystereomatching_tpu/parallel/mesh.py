@@ -1,0 +1,37 @@
+"""Device mesh construction and sharding helpers.
+
+TPU-native replacement for the reference's (absent) communication backend:
+a named mesh ``('data', 'row')`` — stereo pairs sharded over 'data', image
+rows over 'row' — with shardings expressed as ``PartitionSpec``s. ICI
+carries the row-halo and SGM-boundary traffic (ppermute); DCN would carry
+only per-pair scatter in a multi-slice deployment.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import numpy as np
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(n_row: Optional[int] = None, n_data: int = 1,
+              devices: Optional[Sequence] = None) -> Mesh:
+    """Mesh over ('data', 'row'). Defaults: all devices on the row axis."""
+    devs = list(devices if devices is not None else jax.devices())
+    if n_row is None:
+        n_row = len(devs) // n_data
+    assert n_data * n_row <= len(devs), (n_data, n_row, len(devs))
+    arr = np.array(devs[: n_data * n_row]).reshape(n_data, n_row)
+    return Mesh(arr, ("data", "row"))
+
+
+def row_sharding(mesh: Mesh, ndim: int, row_axis: int, batch_axis: Optional[int] = None):
+    """NamedSharding splitting ``row_axis`` over 'row' (and optionally a
+    batch axis over 'data')."""
+    spec = [None] * ndim
+    spec[row_axis] = "row"
+    if batch_axis is not None:
+        spec[batch_axis] = "data"
+    return NamedSharding(mesh, P(*spec))

@@ -64,7 +64,8 @@ def compute_volumes(left, right, cfg: MatchConfig):
             vol = agg_ops.cbca(vol, arms_int, cfg.cbca_iterations)
         else:
             img, g = (left, gl) if lor == 0 else (right, gr)
-            vol = agg_ops.aggregate(vol, cfg, img, g)
+            oth = right if lor == 0 else left
+            vol = agg_ops.aggregate(vol, cfg, img, g, other_image=oth, lor=lor)
         vols[lor] = vol
     return vols, arms_pair
 
@@ -88,6 +89,13 @@ def optimize(vols, left, right, cfg: MatchConfig):
             d1 = so_ops.scanline_optimize(vols[1], right, cfg)
         return d0, d1, vols[0]
 
+    if cfg.do_vmtop:
+        from mystereomatching_tpu.ops import vmtop as vmtop_ops
+
+        dl = vmtop_ops.disp_from_top(vols[0], left, cfg, cfg.vmtop_method)
+        dr = (vmtop_ops.disp_from_top(vols[1], right, cfg, cfg.vmtop_method)
+              if 1 in vols else None)
+        return dl, dr, vols[0]
     dl = wta_ops.wta(vols[0], cfg.choose_small)
     dr = wta_ops.wta(vols[1], cfg.choose_small) if 1 in vols else None
     return dl, dr, vols[0]
