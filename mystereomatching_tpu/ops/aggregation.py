@@ -19,13 +19,15 @@ from typing import Optional
 import jax.numpy as jnp
 
 from mystereomatching_tpu.config import MatchConfig
-from mystereomatching_tpu.ops.arms import arm_bounded_sum, cross_arms, intersect_arms
+from mystereomatching_tpu.ops.arms import (
+    arm_bounded_sum, arm_bounded_sum_with_area, cross_arms, intersect_arms)
 
 
 def cbca(
     vol: jnp.ndarray,
     arms_int: jnp.ndarray,
     iterations: int = 2,
+    max_arm: int = 34,
 ) -> jnp.ndarray:
     """Cross-based aggregation with per-disparity intersected arms.
 
@@ -33,41 +35,44 @@ def cbca(
     runs H->V when i is even, V->H when odd (cbca_core cpp:5605-5616);
     the support-area volume receives the identical transform and divides
     the result (genfinalVm_cbca cpp:3969-3992).
+
+    Per iteration, the first pass derives the area from the tap masks
+    directly (area starts as ones); the second pass aggregates vol and
+    area together in one fused tap loop ([2,D,H,W] stack).
     """
     armL, armR, armU, armD = (arms_int[i] for i in range(4))
 
-    def h_pass(x):
-        return arm_bounded_sum(x, armL, armR, axis=2)
-
-    def v_pass(x):
-        return arm_bounded_sum(x, armU, armD, axis=1)
-
     for it in range(iterations):
-        area = jnp.ones_like(vol)
-        if it % 2 == 0:
-            vol, area = h_pass(vol), h_pass(area)
-            vol, area = v_pass(vol), v_pass(area)
-        else:
-            vol, area = v_pass(vol), v_pass(area)
-            vol, area = h_pass(vol), h_pass(area)
-        vol = vol / jnp.maximum(area, 1.0)
+        p1, p2 = (((2, armL, armR), (1, armU, armD)) if it % 2 == 0 else
+                  ((1, armU, armD), (2, armL, armR)))
+        ax, an, ap = p1
+        vol, area = arm_bounded_sum_with_area(vol, an, ap, axis=ax,
+                                              max_arm=max_arm)
+        ax, an, ap = p2
+        stacked = jnp.stack([vol, area])
+        stacked = arm_bounded_sum(stacked, an[None], ap[None], axis=ax + 1,
+                                  max_arm=max_arm)
+        vol = stacked[0] / jnp.maximum(stacked[1], 1.0)
     return vol
 
 
 def cbca_nonintersect(vol: jnp.ndarray, arms: jnp.ndarray,
-                      iterations: int = 2) -> jnp.ndarray:
+                      iterations: int = 2, max_arm: int = 34) -> jnp.ndarray:
     """CBCA variant with per-pixel (non-intersected) arms [4,H,W]
     (cbca_intersect=false path of cbca_core). Also the support-aggregation
     engine reused by region vote (cal_histogram_for_HV cpp:6830-6862)."""
     armL, armR, armU, armD = (arms[i][None] for i in range(4))
     for it in range(iterations):
-        area = jnp.ones_like(vol)
-        passes = ((2, armL, armR), (1, armU, armD)) if it % 2 == 0 else \
-                 ((1, armU, armD), (2, armL, armR))
-        for axis, a_neg, a_pos in passes:
-            vol = arm_bounded_sum(vol, a_neg, a_pos, axis=axis)
-            area = arm_bounded_sum(area, a_neg, a_pos, axis=axis)
-        vol = vol / jnp.maximum(area, 1.0)
+        p1, p2 = (((2, armL, armR), (1, armU, armD)) if it % 2 == 0 else
+                  ((1, armU, armD), (2, armL, armR)))
+        ax, an, ap = p1
+        vol, area = arm_bounded_sum_with_area(vol, an, ap, axis=ax,
+                                              max_arm=max_arm)
+        ax, an, ap = p2
+        stacked = jnp.stack([vol, area])
+        stacked = arm_bounded_sum(stacked, an[None], ap[None], axis=ax + 1,
+                                  max_arm=max_arm)
+        vol = stacked[0] / jnp.maximum(stacked[1], 1.0)
     return vol
 
 

@@ -43,11 +43,12 @@ def segment_labels(image: jnp.ndarray, tol: int = 4, blur_sigma: float = 4.0,
                         low=20.0, high=60.0, equalize=True, blur_sigma=0.0)
 
     h, w = gray.shape
+    sm_c = jnp.moveaxis(sm, -1, 0)   # [C,H,W]: _shift2d moves trailing (H,W)
     # adjacency: neighbors connected if within tolerance and neither is edge
     def conn(dv, du):
-        nb = _shift2d(sm, dv, du, 1e9)
+        nb = _shift2d(sm_c, dv, du, 1e9)
         ne = _shift2d(edges, dv, du, True)
-        ok = jnp.max(jnp.abs(sm - nb), axis=-1) <= tol
+        ok = jnp.max(jnp.abs(sm_c - nb), axis=0) <= tol
         return ok & ~edges & ~ne
 
     c_r = conn(0, 1)

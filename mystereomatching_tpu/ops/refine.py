@@ -96,6 +96,7 @@ def region_vote(
     s_thres: int = 20,
     h_ratio: float = 0.4,
     int_ratio_quirk: bool = True,
+    max_arm: int = 34,
 ) -> jnp.ndarray:
     """One region-vote pass: for each invalid pixel, histogram the valid
     disparities inside its cross support (rows spanned by the anchor's
@@ -114,12 +115,14 @@ def region_vote(
     onehot = (onehot & valid[None]).astype(jnp.int32)  # int32: exact counts
     # H pass with each pixel's own horizontal arms, then V pass with the
     # anchor's vertical arms — matches the reference's loop structure.
-    h_agg = arm_bounded_sum(onehot, arms[0][None], arms[1][None], axis=2)
-    hist = arm_bounded_sum(h_agg, arms[2][None], arms[3][None], axis=1)
-    vcount = arm_bounded_sum(
-        arm_bounded_sum(valid[None].astype(jnp.int32),
-                        arms[0][None], arms[1][None], axis=2),
-        arms[2][None], arms[3][None], axis=1)[0]
+    # The valid-count plane rides along as an extra "disparity" slice so
+    # both aggregations happen in one fused tap loop.
+    stacked = jnp.concatenate([onehot, valid[None].astype(jnp.int32)], axis=0)
+    stacked = arm_bounded_sum(stacked, arms[0][None], arms[1][None], axis=2,
+                              max_arm=max_arm)
+    stacked = arm_bounded_sum(stacked, arms[2][None], arms[3][None], axis=1,
+                              max_arm=max_arm)
+    hist, vcount = stacked[:d_], stacked[d_]
 
     disp_most = jnp.argmax(hist, 0).astype(disp.dtype)
     n_most = jnp.max(hist, 0)
@@ -187,7 +190,8 @@ def proper_interpolation(
     most color-similar direction (first minimum wins, cpp:7475-7484).
     """
     offs = _pi_offsets(search_depth)
-    img = image.astype(jnp.float32)
+    # channel-leading so _shift2d moves over (H, W), not (W, channels)
+    img = jnp.moveaxis(image.astype(jnp.float32), -1, 0)
     inval = disp < 0
 
     dir_disp = []
@@ -201,7 +205,7 @@ def proper_interpolation(
             nd = _shift2d(disp, dv, du, -1)
             nc = _shift2d(img, dv, du, 1e9)
             hit = (~found) & (nd >= 0)
-            cd = jnp.max(jnp.abs(nc - img), axis=-1)
+            cd = jnp.max(jnp.abs(nc - img), axis=0)
             dsp = jnp.where(hit, nd, dsp)
             cdf = jnp.where(hit, cd, cdf)
             found = found | hit
@@ -281,7 +285,7 @@ def weighted_median(
     the reference, whose negative-index histogram writes are lost (UB).
     Replaces pixels where mask is True.
     """
-    img = image.astype(jnp.float32)
+    img = jnp.moveaxis(image.astype(jnp.float32), -1, 0)  # [C,H,W]
     h, w = disp.shape
     hist = jnp.zeros((num_disp, h, w), jnp.float32)
     wsum = jnp.zeros((h, w), jnp.float32)
@@ -290,7 +294,7 @@ def weighted_median(
         for du in range(-radius, radius + 1):
             nd = _shift2d(disp, dv, du, -1)
             nc = _shift2d(img, dv, du, 1e4)
-            cdis = jnp.sum((img - nc) ** 2, axis=-1)
+            cdis = jnp.sum((img - nc) ** 2, axis=0)
             wgt = jnp.exp(-cdis / (sigma_c * sigma_c)
                           - (dv * dv + du * du) / (sigma_s * sigma_s))
             wsum = wsum + wgt

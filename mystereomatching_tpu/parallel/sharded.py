@@ -154,7 +154,8 @@ def _match_pair_band(left, right, cfg: MatchConfig, n_chunks: int):
                                                cfg.num_disp, lor)
             from mystereomatching_tpu.ops.aggregation import cbca
 
-            vol = cbca(vol, arms_int, cfg.cbca_iterations)
+            vol = cbca(vol, arms_int, cfg.cbca_iterations,
+                       max_arm=cfg.cbca_cross_l_out)
         elif cfg.aggregation == "bf":
             from mystereomatching_tpu.ops.aggregation import box_filter_volume
 
@@ -189,7 +190,8 @@ def _match_pair_band(left, right, cfg: MatchConfig, n_chunks: int):
             d_ext = exchange_rows(d, hr, row_axis=0, pad_mode=-1)
             d_ext = refine_ops.region_vote(d_ext, arms0, cfg.num_disp,
                                            cfg.rv_s_thres, cfg.rv_h_ratio,
-                                           cfg.rv_int_ratio_quirk)
+                                           cfg.rv_int_ratio_quirk,
+                                           max_arm=cfg.cbca_cross_l_out)
             d = crop_rows(d_ext, hr, row_axis=0)
     if cfg.do_proper_ipol:
         hp = 2 * cfg.pi_search_depth

@@ -61,7 +61,8 @@ def compute_volumes(left, right, cfg: MatchConfig):
         if cfg.aggregation == "cbca":
             arms_int = arms_ops.intersect_arms(arms_pair[0], arms_pair[1],
                                                cfg.num_disp, lor)
-            vol = agg_ops.cbca(vol, arms_int, cfg.cbca_iterations)
+            vol = agg_ops.cbca(vol, arms_int, cfg.cbca_iterations,
+                               max_arm=cfg.cbca_cross_l_out)
         else:
             img, g = (left, gl) if lor == 0 else (right, gr)
             oth = right if lor == 0 else left
@@ -117,7 +118,8 @@ def refine(d_left, d_right, vol_left, left, arms0, cfg: MatchConfig):
     if cfg.do_region_vote:
         for _ in range(cfg.region_vote_iters):
             d = refine_ops.region_vote(d, arms0, cfg.num_disp, cfg.rv_s_thres,
-                                       cfg.rv_h_ratio, cfg.rv_int_ratio_quirk)
+                                       cfg.rv_h_ratio, cfg.rv_int_ratio_quirk,
+                                       max_arm=cfg.cbca_cross_l_out)
     if cfg.do_cbbi:
         from mystereomatching_tpu.ops import cbbi as cbbi_ops
 
