@@ -180,6 +180,13 @@ class MatchConfig:
     # --- evaluation (h:225) -------------------------------------------------
     error_threshold: float = 1.0       # errorThreshold (bad-1.0)
 
+    # --- cross-scale pyramid (main_.cpp:131-158, SolveAll cpp:2142) ---------
+    pyramid_levels: int = 1            # PY_LEV (1 = no cross-scale)
+    reg_lambda: float = 0.3            # REG_LAMBDA (main_.cpp:158)
+    bg_ipol_kitti: bool = False        # use iterpolateBackground (cpp:5864)
+                                       # instead of the two-sided min fill
+    ipol_threshold: int = 0            # ipolThrehold (h:226)
+
     # --- numerics / TPU -----------------------------------------------------
     vol_dtype: str = "float32"         # cost volume dtype
     compute_both_volumes: bool = True  # build left+right volumes (LRC needs both)

@@ -67,6 +67,22 @@ def census_code_symmetric(gray: jnp.ndarray, rv: int, ru: int) -> jnp.ndarray:
     return _pack_bits(bits)
 
 
+def census_code_neighbor(gray: jnp.ndarray, rv: int, ru: int,
+                         stride: int = 1) -> jnp.ndarray:
+    """Ring/chain-neighbor census (genCensusCode_neighC1/2, h:691-864
+    family): each bit compares consecutive window samples in scan order
+    (stride 1) or samples two apart (stride 2) instead of against the
+    center — robust to center-pixel noise."""
+    g = gray.astype(jnp.int32)
+    pad = jnp.pad(g, ((rv, rv), (ru, ru)), mode="reflect")
+    h, w = gray.shape
+    samples = [lax.dynamic_slice(pad, (rv + dv, ru + du), (h, w))
+               for dv, du in _offsets_classic(rv, ru)]
+    bits = [samples[i] < samples[(i + stride) % len(samples)]
+            for i in range(len(samples))]
+    return _pack_bits(bits)
+
+
 def census_code_mean(gray: jnp.ndarray, rv: int, ru: int) -> jnp.ndarray:
     """Mean-census (genCensus, cpp:5309-5351): compare neighbors against the
     window mean instead of the center pixel."""

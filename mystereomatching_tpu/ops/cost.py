@@ -331,13 +331,18 @@ def compute_cost_volume(
     method = cfg.cost
 
     def census_vm():
-        code_fn = {
-            0: lambda g: census_ops.census_code_classic(g, cfg.census_rv, cfg.census_ru),
-            3: lambda g: census_ops.census_code_ncsur(g, cfg.census_rv, cfg.census_ru),
+        # censusFunc (h:244): 0 classic, 1/2 neighbor-chain variants,
+        # 3 classic+8-surround (default), 4 symmetric, 5 mean-census
+        rv_, ru_ = cfg.census_rv, cfg.census_ru
+        win = (2 * rv_ + 1) * (2 * ru_ + 1)
+        code_fn, n_bits = {
+            0: (lambda g: census_ops.census_code_classic(g, rv_, ru_), win),
+            1: (lambda g: census_ops.census_code_neighbor(g, rv_, ru_, 1), win),
+            2: (lambda g: census_ops.census_code_neighbor(g, rv_, ru_, 2), win),
+            3: (lambda g: census_ops.census_code_ncsur(g, rv_, ru_), win + 8),
+            4: (lambda g: census_ops.census_code_symmetric(g, rv_, ru_), win // 2),
+            5: (lambda g: census_ops.census_code_mean(g, rv_, ru_), win),
         }[cfg.census_func]
-        n_bits = (2 * cfg.census_rv + 1) * (2 * cfg.census_ru + 1)
-        if cfg.census_func == 3:
-            n_bits += 8
         cl = code_fn(gray_l)
         cr = code_fn(gray_r)
         return census_ops.hamming_volume(

@@ -264,6 +264,46 @@ def bg_interpolation(disp: jnp.ndarray) -> jnp.ndarray:
     return jnp.where((disp < 0) & (fill >= 0), fill, disp)
 
 
+def interpolate_background_kitti(disp: jnp.ndarray, thres: int = 0) -> jnp.ndarray:
+    """KITTI-style row/column extrapolating filler (iterpolateBackground
+    cpp:5864-5948): invalid runs take the min of the flanking valid
+    disparities; row edges extrapolate the first/last valid value; columns
+    then extrapolate above the first / below the last valid row."""
+    valid = disp > thres
+    h, w = disp.shape
+
+    left = _nearest_valid_scan(disp, valid, axis=1, reverse=False)
+    right = _nearest_valid_scan(disp, valid, axis=1, reverse=True)
+    both = (left >= 0) & (right >= 0)
+    fill = jnp.where(both, jnp.minimum(left, right),
+                     jnp.maximum(left, right))          # edge extrapolation
+    d = jnp.where(valid | (fill < 0), disp, fill)
+
+    valid2 = d > thres
+    up = _nearest_valid_scan(d, valid2, axis=0, reverse=False)
+    dn = _nearest_valid_scan(d, valid2, axis=0, reverse=True)
+    # only extrapolate beyond the first/last valid row of each column
+    top_fill = jnp.where((up < 0) & (dn >= 0), dn, d)
+    out = jnp.where((dn < 0) & (up >= 0), up, top_fill)
+    return out
+
+
+def _nearest_valid_scan(disp: jnp.ndarray, valid: jnp.ndarray, axis: int,
+                        reverse: bool) -> jnp.ndarray:
+    """Value of nearest valid pixel looking backward along axis
+    (exclusive of self), -1 if none; vectorized via cummax of indices."""
+    x = disp if not reverse else jnp.flip(disp, axis)
+    v = valid if not reverse else jnp.flip(valid, axis)
+    n = x.shape[axis]
+    pos = jnp.arange(n, dtype=jnp.int32).reshape(
+        [-1 if a == axis else 1 for a in range(x.ndim)])
+    idx = jnp.where(v, pos, -1)
+    last = jax_cummax(jnp.broadcast_to(idx, x.shape), axis=axis)
+    val = jnp.take_along_axis(x, jnp.clip(last, 0, n - 1), axis=axis)
+    out = jnp.where(last >= 0, val, -1)
+    return out if not reverse else jnp.flip(out, axis)
+
+
 # ---------------------------------------------------------------------------
 # Weighted median (WM cpp:7340-7393)
 # ---------------------------------------------------------------------------

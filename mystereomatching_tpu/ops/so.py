@@ -79,6 +79,67 @@ def _so_core(vol: jnp.ndarray, disc: jnp.ndarray, pn2: float, pn3: float):
     return disp.T.astype(jnp.int32)
 
 
+def scanline_optimize_change(vol: jnp.ndarray, image: jnp.ndarray,
+                             ref_disp: jnp.ndarray, cfg: MatchConfig) -> jnp.ndarray:
+    """so_change (cpp:6419-6578): adds d+-2 transitions (penalty 2, NOT
+    halved at discontinuities — the reference's `Pn2_ / 2;` statement has
+    no effect, a quirk we preserve) and jumps to the previous pixel's
+    disparity in a reference map (+Pn3) instead of the global minimum.
+
+    ref_disp: [H, W] int32 prior disparity (the reference reads the DP
+    buffer's prior content; pass a WTA map).
+    """
+    d_, h, w = vol.shape
+    img = image.astype(jnp.float32)
+    disc = jnp.mean(jnp.abs(img - jnp.roll(img, 1, 1)), -1) > cfg.so_dif_thres
+
+    vol_t = jnp.moveaxis(vol, 2, 0)          # [W, D, H]
+    disc_t = disc.T[:, None, :]              # [W, 1, H]
+    ref_t = jnp.clip(ref_disp, 0, d_ - 1).T  # [W, H]
+    big = jnp.float32(3.4e38)
+    pn2, pn3, pn2b = cfg.so_pn2, cfg.so_pn3, 2.0
+    ds = jnp.arange(d_, dtype=jnp.int32)[:, None]
+
+    def shift_d(a, k):
+        pad = jnp.full((abs(k), h), big)
+        return (jnp.concatenate([pad, a[:-k]], 0) if k > 0
+                else jnp.concatenate([a[-k:], pad], 0))
+
+    def step(acc, inp):
+        c, dsc, rd = inp
+        scale = jnp.where(dsc, 0.5, 1.0)
+        ref_cost = jnp.take_along_axis(acc, rd[None], 0) + pn3 * scale
+        cands = [
+            (acc, ds),
+            (shift_d(acc, 1) + pn2 * scale, ds - 1),
+            (shift_d(acc, -1) + pn2 * scale, ds + 1),
+            (jnp.broadcast_to(ref_cost, acc.shape), jnp.broadcast_to(rd[None], (d_, h))),
+            (shift_d(acc, 2) + pn2b, ds - 2),
+            (shift_d(acc, -2) + pn2b, ds + 2),
+        ]
+        cost = cands[0][0]
+        dmin = jnp.broadcast_to(ds, (d_, h))
+        for cc, dd in cands[1:]:
+            upd = cc < cost
+            cost = jnp.where(upd, cc, cost)
+            dmin = jnp.where(upd, jnp.broadcast_to(dd, (d_, h)), dmin)
+        new_acc = c + cost
+        return new_acc, (new_acc, dmin)
+
+    init = vol_t[0]
+    acc_last, (accs, traces) = lax.scan(
+        step, init, (vol_t[1:], disc_t[1:], ref_t[:-1]))
+    d_last = jnp.argmin(acc_last, axis=0).astype(jnp.int32)
+
+    def back(carry, tr):
+        d_cur = carry
+        d_prev = jnp.take_along_axis(tr, d_cur[None], axis=0)[0]
+        return d_prev, d_cur
+
+    d_first, ds_rev = lax.scan(back, d_last, traces, reverse=True)
+    return jnp.concatenate([d_first[None], ds_rev], 0).T.astype(jnp.int32)
+
+
 def scanline_optimize(vol: jnp.ndarray, image: jnp.ndarray, cfg: MatchConfig,
                       mode: str = "l2r") -> jnp.ndarray:
     """SO disparity map. vol: [D,H,W]; image: left color image [H,W,3].

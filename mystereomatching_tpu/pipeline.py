@@ -129,7 +129,10 @@ def refine(d_left, d_right, vol_left, left, arms0, cfg: MatchConfig):
             d = refine_ops.proper_interpolation(d, left, cfg.pi_search_depth,
                                                 cfg.disp_occ)
     if cfg.do_bg_ipol:
-        d = refine_ops.bg_interpolation(d)
+        if cfg.bg_ipol_kitti:
+            d = refine_ops.interpolate_background_kitti(d, cfg.ipol_threshold)
+        else:
+            d = refine_ops.bg_interpolation(d)
     if cfg.do_wm:
         d = refine_ops.weighted_median(d, left, lrc_fail, cfg.num_disp,
                                        cfg.wm_win, cfg.wm_sigma_c, cfg.wm_sigma_s)
@@ -153,6 +156,21 @@ def match_pair(left: jnp.ndarray, right: jnp.ndarray, cfg: MatchConfig) -> Dict[
     left = left.astype(jnp.float32)
     right = right.astype(jnp.float32)
     vols, arms_pair = compute_volumes(left, right, cfg)
+    if cfg.pyramid_levels > 1:
+        # cross-scale aggregation (SolveAll, cpp:2142-2208): build coarser
+        # aggregated volumes on a Gaussian pyramid (maxdisp/2+1 per level,
+        # main_.cpp:152) and fuse at the finest level
+        from mystereomatching_tpu.ops.crossscale import pyr_down, solve_all
+
+        per_level = {lor: [vols[lor]] for lor in vols}
+        l, r, c = left, right, cfg
+        for _ in range(1, cfg.pyramid_levels):
+            l, r = pyr_down(l), pyr_down(r)
+            c = c.replace(max_disp=c.max_disp // 2 + 1)
+            vs, _ = compute_volumes(l, r, c)
+            for lor in vols:
+                per_level[lor].append(vs[lor])
+        vols = {lor: solve_all(per_level[lor], cfg.reg_lambda) for lor in vols}
     dl, dr, vol0 = optimize(vols, left, right, cfg)
     out = {"disp_left_raw": dl}
     if dr is not None:
