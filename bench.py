@@ -15,6 +15,7 @@ Teddy frame; we pin 5.0 MP·disp/s (≈2 s/frame), generous to the CPU.
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 
+import functools
 import json
 import time
 
@@ -22,6 +23,7 @@ import time
 CPU_BASELINE_MPDS = 5.0
 
 H, W, D = 375, 450, 60
+BATCH = 4          # frames per dispatch (throughput/serving mode)
 WARMUP = 2
 ITERS = 5
 
@@ -32,31 +34,33 @@ def main():
     import numpy as np
 
     from mystereomatching_tpu.config import default_config
-    from mystereomatching_tpu.pipeline import StereoPipeline
+    from mystereomatching_tpu.pipeline import match_pair
     from mystereomatching_tpu.data import make_synthetic_pair
 
-    pair = make_synthetic_pair(h=H, w=W, max_disp=D - 1, seed=0)
+    pairs = [make_synthetic_pair(h=H, w=W, max_disp=D - 1, seed=s)
+             for s in range(BATCH)]
     cfg = default_config(max_disp=D - 1)
-    pipe = StereoPipeline(cfg)
+    fn = jax.jit(jax.vmap(
+        lambda l, r: match_pair(l, r, cfg=cfg)["disparity"]))
 
-    left = jnp.asarray(pair.left)
-    right = jnp.asarray(pair.right)
+    left = jnp.stack([jnp.asarray(p.left, jnp.float32) for p in pairs])
+    right = jnp.stack([jnp.asarray(p.right, jnp.float32) for p in pairs])
 
     def sync(o):
         # jax.block_until_ready is unreliable under the axon PJRT tunnel
         # (buffers report ready before execution completes) — force a real
         # device->host read of a reduction instead.
-        return float(jnp.sum(o["disparity"]))
+        return float(jnp.sum(o))
 
     for _ in range(WARMUP):
-        sync(pipe(left, right))
+        sync(fn(left, right))
 
     t0 = time.perf_counter()
     for _ in range(ITERS):
-        sync(pipe(left, right))
+        sync(fn(left, right))
     dt = (time.perf_counter() - t0) / ITERS
 
-    mpds = H * W * D / dt / 1e6
+    mpds = BATCH * H * W * D / dt / 1e6
     print(json.dumps({
         "metric": "default_pipeline_throughput_teddy",
         "value": round(mpds, 3),

@@ -123,13 +123,63 @@ def arm_bounded_sum(vol: jnp.ndarray, arm_neg: jnp.ndarray, arm_pos: jnp.ndarray
     TPU-first formulation: per-element gathers along the lane axis are
     catastrophically slow on the VPU, so instead of prefix-sum +
     gather-difference this runs (2*max_arm + 1) STATIC shifted masked
-    accumulations — a variable-footprint 1-D box "convolution" whose taps
-    XLA fuses into one pass. ~50x faster than the gather form on TPU at
-    Teddy scale. Arms must be border-clipped (cross_arms guarantees it)
-    and bounded by ``max_arm`` (cbca_crossL_out).
+    accumulations — a variable-footprint 1-D box "convolution". On TPU the
+    tap loop runs as a hand-written Pallas kernel that keeps the block in
+    VMEM (ops/pallas_kernels.py); elsewhere it falls back to the XLA
+    formulation below. Arms must be border-clipped (cross_arms guarantees
+    it) and bounded by ``max_arm`` (cbca_crossL_out).
 
     vol: any shape; arm_neg/arm_pos broadcastable to vol's shape.
     """
+    dispatched = _try_pallas(vol, arm_neg, arm_pos, axis, max_arm)
+    if dispatched is not None:
+        return dispatched
+    return _arm_bounded_sum_taps(vol, arm_neg, arm_pos, axis, max_arm)
+
+
+def _try_pallas(vol, arm_neg, arm_pos, axis, max_arm):
+    """Route to the Pallas VMEM-resident kernel when shapes permit.
+
+    Accepted layouts (covering every call site): reduction axis is one of
+    the trailing two (H, W) spatial dims; arms share the (H, W) extent and
+    have leading dims that are all 1 or match vol's batch dim.
+    """
+    from mystereomatching_tpu.ops import pallas_kernels as pk
+
+    if not pk.tpu_backend():
+        return None
+    nd = vol.ndim
+    if axis not in (nd - 2, nd - 1) or nd < 3 or nd > 4:
+        return None
+    if arm_neg.shape[-2:] != vol.shape[-2:] or arm_neg.shape != arm_pos.shape:
+        return None
+    lead = arm_neg.shape[:-2]
+    if any(s != 1 for s in lead[:-1]):       # only the innermost lead dim may be >1
+        return None
+    ba = np_prod(lead)
+    if nd == 3:
+        v4 = vol[None]                       # [1, B, H, W]
+        b = vol.shape[0]
+    else:
+        v4 = vol
+        b = vol.shape[1]
+    if ba not in (1, b):
+        return None
+    an = arm_neg.reshape((ba,) + arm_neg.shape[-2:])
+    ap = arm_pos.reshape((ba,) + arm_pos.shape[-2:])
+    kaxis = 2 if axis == nd - 2 else 3
+    out = pk.arm_bounded_sum_pallas(v4, an, ap, kaxis, max_arm)
+    return out[0] if nd == 3 else out
+
+
+def np_prod(xs) -> int:
+    p = 1
+    for x in xs:
+        p *= int(x)
+    return p
+
+
+def _arm_bounded_sum_taps(vol, arm_neg, arm_pos, axis, max_arm):
     n = vol.shape[axis]
     pad_width = [(0, 0)] * vol.ndim
     pad_width[axis] = (max_arm, max_arm)
@@ -171,25 +221,11 @@ def arm_bounded_sum_dir(vol: jnp.ndarray, arm_neg: jnp.ndarray,
 def arm_bounded_sum_with_area(vol: jnp.ndarray, arm_neg: jnp.ndarray,
                               arm_pos: jnp.ndarray, axis: int,
                               max_arm: int = 34):
-    """(arm-bounded sum, support count) in one fused tap loop — the CBCA
-    inner pass, where the area volume receives the identical transform
-    (cbca_core cpp:5605-5616)."""
-    n = vol.shape[axis]
-    pad_width = [(0, 0)] * vol.ndim
-    pad_width[axis] = (max_arm, max_arm)
-    padded = jnp.pad(vol, pad_width)
-
-    def slc(k):
-        ix = [slice(None)] * vol.ndim
-        ix[axis] = slice(k + max_arm, k + max_arm + n)
-        return padded[tuple(ix)]
-
-    out = jnp.zeros_like(vol)
-    cnt = None
-    for k in range(-max_arm, max_arm + 1):
-        mask = (k >= -arm_neg) & (k <= arm_pos)
-        shifted = slc(k)
-        out = out + jnp.where(mask, shifted, jnp.zeros_like(shifted))
-        m = mask.astype(vol.dtype)
-        cnt = m if cnt is None else cnt + m
+    """(arm-bounded sum, support count) — the CBCA inner pass, where the
+    area volume receives the identical transform (cbca_core cpp:5605-5616).
+    The count needs no taps: it is exactly clip(arm_neg) + clip(arm_pos) + 1
+    (the number of in-support offsets)."""
+    out = arm_bounded_sum(vol, arm_neg, arm_pos, axis, max_arm)
+    cnt = (jnp.minimum(arm_neg, max_arm) + jnp.minimum(arm_pos, max_arm)
+           + 1).astype(vol.dtype)
     return out, jnp.broadcast_to(cnt, vol.shape)

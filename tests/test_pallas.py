@@ -1,0 +1,52 @@
+"""Pallas kernel unit tests (interpret mode on the CPU mesh).
+
+The TPU arm-bounded-sum kernel (ops/pallas_kernels.py) must agree exactly
+with the XLA taps formulation it replaces (SURVEY.md §4a: every kernel is
+checked against a transcription of the reference semantics — here
+gen1DCumu + cal1DCost, stereoMatching.cpp:3896-3926 / h:1643-1715).
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from mystereomatching_tpu.ops import arms as A
+from mystereomatching_tpu.ops.pallas_kernels import arm_bounded_sum_pallas
+
+
+@pytest.mark.parametrize("axis", [2, 3])
+@pytest.mark.parametrize("c,ba", [(1, 1), (1, 5), (2, 5), (2, 1)])
+def test_pallas_matches_taps(rng, axis, c, ba):
+    b, h, w, m = 5, 24, 40, 7
+    vol = jnp.asarray(rng.random((c, b, h, w)), jnp.float32)
+    an = jnp.asarray(rng.integers(0, m + 1, (ba, h, w)), jnp.int32)
+    ap = jnp.asarray(rng.integers(0, m + 1, (ba, h, w)), jnp.int32)
+    # clamp arms to the border so no support crosses the image edge
+    # (cross_arms guarantees this in production, cpp:3030-3041)
+    vv = jnp.arange(h)[:, None]
+    uu = jnp.arange(w)[None, :]
+    if axis == 2:
+        an = jnp.minimum(an, vv)
+        ap = jnp.minimum(ap, h - 1 - vv)
+    else:
+        an = jnp.minimum(an, uu)
+        ap = jnp.minimum(ap, w - 1 - uu)
+
+    got = arm_bounded_sum_pallas(vol, an, ap, axis, m, interpret=True)
+    # reference: XLA taps on a matching broadcast layout
+    an_b = an[:, None] if ba == 1 else an[None]
+    ap_b = ap[:, None] if ba == 1 else ap[None]
+    want = A._arm_bounded_sum_taps(vol, an_b, ap_b, axis, m)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-6)
+
+
+def test_area_formula_matches_mask_count(rng):
+    h, w, m = 16, 20, 5
+    vol = jnp.asarray(rng.random((3, h, w)), jnp.float32)
+    an = jnp.asarray(rng.integers(0, m + 3, (3, h, w)), jnp.int32)
+    ap = jnp.asarray(rng.integers(0, m + 3, (3, h, w)), jnp.int32)
+    _, area = A.arm_bounded_sum_with_area(vol, an, ap, axis=2, max_arm=m)
+    # count by explicit masks
+    want = sum(((k >= -an) & (k <= ap)).astype(np.float32)
+               for k in range(-m, m + 1))
+    np.testing.assert_allclose(np.asarray(area), np.asarray(want))
