@@ -44,6 +44,7 @@ AGG_METHODS = (
     "nl",     # non-local MST tree filter                (cpp:4892-4917, NL/)
     "gfnl",   # variance-blended GF+NL                   (cpp:4421-4490)
     "aws",    # adaptive support weight                  (cpp:5692-5801)
+    "jbf",    # per-slice joint bilateral filter         (JBF_STANDARD path, cpp:5738-5767)
 )
 
 OPT_METHODS = (
@@ -128,6 +129,9 @@ class MatchConfig:
     # --- AWS ----------------------------------------------------------------
     aws_win: int = 17                  # 35x35 window -> radius 17 (h:1533)
     aws_gamma: float = 5.0             # exp(-dLab/5) (h:1533-1548)
+    jbf_radius: int = 9                # JBF_STANDARD window radius
+    jbf_sigma_c: float = 25.0          # joint bilateral color sigma
+    jbf_sigma_s: float = 9.0           # joint bilateral spatial sigma
 
     # --- SGM (h:236-241) ----------------------------------------------------
     sgm_p1: float = 1.0                # hard-coded in updateCost (h:2240)
@@ -197,6 +201,18 @@ class MatchConfig:
 
     def replace(self, **kw) -> "MatchConfig":
         return dataclasses.replace(self, **kw)
+
+    def show_params(self) -> str:
+        """Human-readable dump of every parameter, grouped as set vs default
+        (the reference's showParams, stereoMatching.cpp:7928-7961)."""
+        lines = [f"MatchConfig ({self.cost} / {self.aggregation} / "
+                 f"{self.optimization}, D={self.num_disp})"]
+        defaults = MatchConfig()
+        for f in dataclasses.fields(self):
+            v = getattr(self, f.name)
+            mark = "" if v == getattr(defaults, f.name) else "   *"
+            lines.append(f"  {f.name:24s} = {v!r}{mark}")
+        return "\n".join(lines)
 
     def validate(self) -> "MatchConfig":
         if self.cost not in COST_METHODS:

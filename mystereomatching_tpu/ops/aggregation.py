@@ -135,4 +135,9 @@ def aggregate(
         left_img = image if lor == 0 else other_image
         right_img = other_image if lor == 0 else image
         return aws_aggregate(vol, left_img, cfg, right_img, lor=lor)
+    if method == "jbf":
+        from mystereomatching_tpu.ops.aws import jbf_volume
+
+        return jbf_volume(vol, image, cfg.jbf_radius, cfg.jbf_sigma_c,
+                          cfg.jbf_sigma_s)
     raise ValueError(f"unknown aggregation {method!r}")

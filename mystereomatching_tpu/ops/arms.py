@@ -103,14 +103,15 @@ def intersect_arms(
     u = jnp.arange(w, dtype=jnp.int32)[None, :]
     d = jnp.arange(num_disp, dtype=jnp.int32)[:, None]
     if lor == 0:
-        ref, oth, idx = arms_l, arms_r, u - d
-        ok = idx >= 0
+        ref, oth, shift = arms_l, arms_r, 1
+        ok = (u - d) >= 0
     else:
-        ref, oth, idx = arms_r, arms_l, u + d
-        ok = idx < w
-    idx = jnp.clip(idx, 0, w - 1)                       # [D, W]
-    sh = jnp.take(oth, idx, axis=-1)                    # [4, H, D, W]
-    sh = jnp.moveaxis(sh, 2, 1)                         # [4, D, H, W]
+        ref, oth, shift = arms_r, arms_l, -1
+        ok = (u + d) < w
+    # D static rolls instead of a lane gather (TPU: gathers along the lane
+    # axis are ~10x slower than static shifts); wraps are masked by `ok`
+    sh = jnp.stack([jnp.roll(oth, shift * dd, axis=-1)
+                    for dd in range(num_disp)], axis=1)  # [4, D, H, W]
     out = jnp.minimum(ref[:, None], sh)
     return jnp.where(ok[None, :, None, :], out, 0)
 

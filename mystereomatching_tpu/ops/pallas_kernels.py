@@ -108,6 +108,133 @@ def _sublane_pass(vol: jnp.ndarray, an: jnp.ndarray, ap: jnp.ndarray,
     )(vol, an.astype(jnp.int32), ap.astype(jnp.int32))
 
 
+def _wta_kernel(vol_ref, out_ref, *, choose_small: bool):
+    """First-occurrence argmin/argmax over the leading (D) block axis.
+
+    vol_ref: [D, At, W]; out_ref: [At, W] int32. XLA's variadic
+    (value, index) argmin reduce over the major axis runs ~40x off the
+    bandwidth roofline on TPU; min + iota-select + min is 4 VPU ops/elem.
+    """
+    v = vol_ref[:]
+    d_ = v.shape[0]
+    red = jnp.min(v, axis=0) if choose_small else jnp.max(v, axis=0)
+    ids = jax.lax.broadcasted_iota(jnp.int32, v.shape, 0)
+    hit = jnp.where(v == red[None], ids, d_)
+    out_ref[:] = jnp.min(hit, axis=0)
+
+
+def wta_pallas(vol: jnp.ndarray, choose_small: bool = True,
+               interpret: bool = False) -> jnp.ndarray:
+    """Plain WTA (gen_dispFromVm cpp:3928-3967) as a Pallas kernel.
+
+    vol: [D, H, W] -> int32 [H, W] (first index achieving the extremum,
+    matching jnp.argmin/argmax semantics)."""
+    d_, h, w = vol.shape
+    # size the row tile so ~4 live [D, at, W] buffers fit in scoped VMEM
+    wp = _cdiv(w, 128) * 128
+    at = max(8, min(h, (10 * 1024 * 1024) // (d_ * wp * 4 * 4) // 8 * 8))
+    grid = (_cdiv(h, at),)
+    return pl.pallas_call(
+        functools.partial(_wta_kernel, choose_small=choose_small),
+        grid=grid,
+        in_specs=[pl.BlockSpec((d_, at, w), lambda t: (0, t, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((at, w), lambda t: (t, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((h, w), jnp.int32),
+        interpret=interpret,
+    )(vol)
+
+
+def _sgm_kernel(vol_ref, ps_ref, mask_ref, out_ref, carry,
+                *, p1: float, p2: float, has_mask: bool):
+    """Top-down SGM scan over one [1, D, Hc, Wt] block.
+
+    Recurrence per row (updateCost h:2268-2274, matching ops/sgm._scan_down
+    bit for bit):
+        L(r,d) = C(r,d) + min(L(r-1,d), minL + P2*s,
+                              min(L(r-1,d-1), L(r-1,d+1)) + P1*s) - minL
+    carry: [D, Wt] scratch holding the previous row's L, persisted across
+    H-chunk grid steps (TPU grid steps run sequentially on the core);
+    reset to the zero scan-edge state at each band's first chunk.
+    """
+    d_, hc, wt = vol_ref.shape[1:]
+    big = jnp.asarray(jnp.finfo(vol_ref.dtype).max, vol_ref.dtype)
+    big_row = jnp.full((1, wt), big, vol_ref.dtype)
+
+    @pl.when(pl.program_id(2) == 0)
+    def _():
+        carry[:] = jnp.zeros_like(carry)
+
+    def row(r, prev):
+        c = vol_ref[0, :, pl.ds(r, 1), :][:, 0, :]          # [D, Wt]
+        ps = ps_ref[0, pl.ds(r, 1), :]                      # [1, Wt]
+        min_l = jnp.min(prev, axis=0, keepdims=True)
+        up = jnp.concatenate([big_row, prev[:-1]], 0)
+        dn = jnp.concatenate([prev[1:], big_row], 0)
+        best = jnp.minimum(jnp.minimum(prev, min_l + p2 * ps),
+                           jnp.minimum(up, dn) + p1 * ps)
+        l = c + best - min_l
+        if has_mask:
+            l = l * mask_ref[0, pl.ds(r, 1), :]
+        out_ref[0, :, pl.ds(r, 1), :] = l[:, None, :]
+        return l
+
+    carry[:] = jax.lax.fori_loop(0, hc, row, carry[:])
+
+
+def sgm_scan_pallas(vol: jnp.ndarray, pscale: jnp.ndarray,
+                    mask=None, p1: float = 1.0, p2: float = 3.0,
+                    interpret: bool = False) -> jnp.ndarray:
+    """Batched top-down SGM path-cost scan.
+
+    vol: [G, D, H, W] cost volumes already oriented so the scan runs
+    top->bottom (callers pre-flip/transpose/skew per direction);
+    pscale: [G, H, W] per-pixel P1/P2 multiplier; mask: optional [G, H, W]
+    in-image mask (skewed diagonal buffers). Returns [G, D, H, W] L_r.
+
+    One pallas_call replaces H sequential XLA scan steps — per-step
+    dispatch overhead dominated the lax.scan formulation (~30us x 825
+    steps at Teddy scale).
+    """
+    g, d_, h, w = vol.shape
+    # Full-width row steps: the row loop is serial, so fatter rows amortize
+    # its fixed per-iteration overhead (measured 4x at Teddy scale vs
+    # 128-lane tiles). Cap by VMEM: vol+out blocks, double-buffered, ~10MB.
+    wt = min(_cdiv(w, 128) * 128, 1280)
+    hc = max(8, min(h, (10 * 1024 * 1024) // (16 * d_ * wt) // 8 * 8))
+    grid = (g, _cdiv(w, wt), _cdiv(h, hc))
+    vol_spec = pl.BlockSpec((1, d_, hc, wt), lambda gi, wi, hi: (gi, 0, hi, wi),
+                            memory_space=pltpu.VMEM)
+    img_spec = pl.BlockSpec((1, hc, wt), lambda gi, wi, hi: (gi, hi, wi),
+                            memory_space=pltpu.VMEM)
+    has_mask = mask is not None
+    in_specs = [vol_spec, img_spec] + ([img_spec] if has_mask else [])
+    args = (vol, pscale) + ((mask.astype(vol.dtype),) if has_mask else ())
+
+    def kern(*refs):
+        if has_mask:
+            vol_ref, ps_ref, mask_ref, out_ref, carry = refs
+        else:
+            vol_ref, ps_ref, out_ref, carry = refs
+            mask_ref = None
+        _sgm_kernel(vol_ref, ps_ref, mask_ref, out_ref, carry,
+                    p1=p1, p2=p2, has_mask=has_mask)
+
+    return pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=vol_spec,
+        out_shape=jax.ShapeDtypeStruct(vol.shape, vol.dtype),
+        scratch_shapes=[pltpu.VMEM((d_, wt), vol.dtype)],
+        cost_estimate=pl.CostEstimate(
+            flops=vol.size * 12, bytes_accessed=vol.size * 8,
+            transcendentals=0),
+        interpret=interpret,
+    )(*args)
+
+
 def arm_bounded_sum_pallas(
     vol: jnp.ndarray,
     arm_neg: jnp.ndarray,

@@ -97,30 +97,39 @@ def _scan_down(vol: jnp.ndarray, pscale: jnp.ndarray, p1: float, p2: float,
 def _skew(x: jnp.ndarray, sign: int, fill: float) -> jnp.ndarray:
     """Skew rows of [..., H, W] into [..., H, W+H-1]: row v goes to columns
     shifted by +v (sign=+1) or (H-1-v) (sign=-1), so that diagonal
-    predecessors become vertical."""
+    predecessors become vertical.
+
+    Gather-free: element (v, u) of the skewed [H, Ws=W+H-1] array sits at
+    flat index v*Ws + (u+v) = v*(W+H) + u, so skewing is pad-to-[H, W+H] →
+    flatten → truncate → reshape (pure layout ops; a per-element lane
+    gather here cost ~2.5s/frame at Teddy scale for the 8-dir SGM)."""
     h, w = x.shape[-2:]
     ws = w + h - 1
+    if sign < 0:
+        out, ok = _skew(x[..., ::-1, :], 1, fill)
+        return out[..., ::-1, :], ok[::-1]
+    lead = x.shape[:-2]
+    pad = [(0, 0)] * (x.ndim - 1) + [(0, h)]
+    p = jnp.pad(x, pad, constant_values=fill)           # [..., H, W+H]
+    flat = p.reshape(lead + (h * (w + h),))
+    out = flat[..., :h * ws].reshape(lead + (h, ws))
     v = jnp.arange(h, dtype=jnp.int32)[:, None]
     s = jnp.arange(ws, dtype=jnp.int32)[None, :]
-    shift = v if sign > 0 else (h - 1 - v)
-    u = s - shift                                       # source column
+    u = s - v
     ok = (u >= 0) & (u < w)
-    uc = jnp.clip(u, 0, w - 1)
-    idx = jnp.broadcast_to(uc, (h, ws))
-    out = jnp.take_along_axis(
-        jnp.broadcast_to(x[..., :, :], x.shape[:-2] + (h, w)),
-        jnp.broadcast_to(idx, x.shape[:-2] + (h, ws)), axis=-1)
-    return jnp.where(ok, out, jnp.asarray(fill, x.dtype)), ok
+    return out, ok
 
 
 def _unskew(x: jnp.ndarray, sign: int, w: int) -> jnp.ndarray:
-    h = x.shape[-2]
-    v = jnp.arange(h, dtype=jnp.int32)[:, None]
-    u = jnp.arange(w, dtype=jnp.int32)[None, :]
-    shift = v if sign > 0 else (h - 1 - v)
-    idx = jnp.broadcast_to(u + shift, (h, w))
-    return jnp.take_along_axis(x, jnp.broadcast_to(idx, x.shape[:-2] + (h, w)),
-                               axis=-1)
+    """Inverse of :func:`_skew` (same pad/reshape trick in reverse)."""
+    h, ws = x.shape[-2:]
+    if sign < 0:
+        return _unskew(x[..., ::-1, :], 1, w)[..., ::-1, :]
+    lead = x.shape[:-2]
+    flat = x.reshape(lead + (h * ws,))
+    pad = [(0, 0)] * (x.ndim - 2) + [(0, h)]
+    flat = jnp.pad(flat, pad)                           # [..., H*(W+H)]
+    return flat.reshape(lead + (h, w + h))[..., :, :w]
 
 
 def scan_direction(vol: jnp.ndarray, image: jnp.ndarray, rv: int, ru: int,
@@ -169,12 +178,73 @@ def sgm(
 
     vol: [D,H,W] matching cost; image: [H,W,3] reference image of this
     volume (I_c[0] for the left volume, I_c[1] for the right, h:2219-2230).
+
+    TPU note: directions sharing an orientation (vertical / horizontal /
+    diagonal) are pre-flipped into a common top-down scan frame and run as
+    ONE batched scan — a single Pallas kernel with the row loop inside
+    (pallas_kernels.sgm_scan_pallas) on TPU, a vmapped ``lax.scan``
+    elsewhere — keeping the recurrence bit-identical to
+    :func:`scan_direction`.
     """
+    return sgm_multi([vol], [image], num_directions, p1, p2,
+                     cor_dif_thres, redu_coeff)[0]
+
+
+def sgm_multi(vol_list, img_list, num_directions: int = 4, p1: float = 1.0,
+              p2: float = 3.0, cor_dif_thres: int = 15,
+              redu_coeff: float = 4.0):
+    """SGM over several volumes at once (e.g. left+right for LRC): all
+    same-orientation scans across all volumes share one batched kernel."""
+    from mystereomatching_tpu.ops import pallas_kernels as pk
+
+    use_pallas = pk.tpu_backend()
     dirs = DIRECTIONS_8[:num_directions]
-    out = jnp.zeros_like(vol)
-    for rv, ru in dirs:
-        out = out + scan_direction(vol, image, rv, ru, p1, p2,
-                                   cor_dif_thres, redu_coeff)
+    n = len(vol_list)
+    out = [jnp.zeros_like(v) for v in vol_list]
+    groups = {"v": [], "h": [], "d": []}
+    for i in range(n):
+        vol, image = vol_list[i], img_list[i]
+        for rv, ru in dirs:
+            p = penalty_scale(image, rv, ru, cor_dif_thres, redu_coeff)
+            if ru == 0:
+                v, p = (vol[:, ::-1], p[::-1]) if rv > 0 else (vol, p)
+                groups["v"].append((i, rv, None, v, p, None))
+            elif rv == 0:
+                vT, pT = jnp.swapaxes(vol, 1, 2), jnp.swapaxes(p, 0, 1)
+                v, p = (vT[:, ::-1], pT[::-1]) if ru > 0 else (vT, pT)
+                groups["h"].append((i, ru, None, v, p, None))
+            else:
+                vF, pF = (vol[:, ::-1], p[::-1]) if rv > 0 else (vol, p)
+                sign = 1 if ru > 0 else -1
+                vS, ok = _skew(vF, sign, 0.0)
+                pS, _ = _skew(pF, sign, 1.0)
+                groups["d"].append((i, rv, sign, vS, pS, ok))
+
+    for gname, items in groups.items():
+        if not items:
+            continue
+        volS = jnp.stack([it[3] for it in items])
+        psS = jnp.stack([it[4] for it in items])
+        maskS = (jnp.stack([it[5] for it in items])
+                 if items[0][5] is not None else None)
+        if use_pallas:
+            res = pk.sgm_scan_pallas(volS, psS, maskS, p1, p2)
+        elif maskS is None:
+            res = jax.vmap(lambda v, p: _scan_down(v, p, p1, p2))(volS, psS)
+        else:
+            res = jax.vmap(lambda v, p, m: _scan_down(v, p, p1, p2,
+                                                      in_image=m))(
+                volS, psS, maskS)
+        for j, (i, a, sign, *_rest) in enumerate(items):
+            r = res[j]
+            if gname == "v":
+                out[i] = out[i] + (r[:, ::-1] if a > 0 else r)
+            elif gname == "h":
+                r = r[:, ::-1] if a > 0 else r
+                out[i] = out[i] + jnp.swapaxes(r, 1, 2)
+            else:
+                r = _unskew(r, sign, vol_list[i].shape[-1])
+                out[i] = out[i] + (r[:, ::-1] if a > 0 else r)
     return out
 
 

@@ -17,7 +17,14 @@ import jax.numpy as jnp
 
 
 def wta(vol: jnp.ndarray, choose_small: bool = True) -> jnp.ndarray:
-    """Plain argmin/argmax over D. vol: [D,H,W] -> int32 [H,W]."""
+    """Plain argmin/argmax over D. vol: [D,H,W] -> int32 [H,W].
+
+    On TPU this runs as a Pallas min+iota-select kernel — XLA's variadic
+    argmin over the major axis is far off the bandwidth roofline."""
+    from mystereomatching_tpu.ops import pallas_kernels as pk
+
+    if vol.ndim == 3 and pk.tpu_backend():
+        return pk.wta_pallas(vol, choose_small)
     return (jnp.argmin(vol, 0) if choose_small else jnp.argmax(vol, 0)).astype(jnp.int32)
 
 

@@ -77,10 +77,19 @@ def optimize(vols, left, right, cfg: MatchConfig):
     Returns (d_left, d_right_or_None, vol_left_after_opt)."""
     images = {0: left, 1: right}
     if cfg.optimization == "sgm":
-        for lor in list(vols):
-            vols[lor] = sgm_ops.sgm(
-                vols[lor], images[lor], cfg.sgm_scan_num, cfg.sgm_p1,
-                cfg.sgm_p2, cfg.sgm_cor_dif_thres, cfg.sgm_redu_coeff)
+        run = functools.partial(
+            sgm_ops.sgm, num_directions=cfg.sgm_scan_num, p1=cfg.sgm_p1,
+            p2=cfg.sgm_p2, cor_dif_thres=cfg.sgm_cor_dif_thres,
+            redu_coeff=cfg.sgm_redu_coeff)
+        if len(vols) == 2:
+            # batch the left/right volumes into the same vmapped scans:
+            # halves the number of latency-bound sequential scan steps
+            res = jax.vmap(run)(jnp.stack([vols[0], vols[1]]),
+                                jnp.stack([left, right]))
+            vols = {0: res[0], 1: res[1]}
+        else:
+            for lor in list(vols):
+                vols[lor] = run(vols[lor], images[lor])
     elif cfg.optimization == "so":
         from mystereomatching_tpu.ops import so as so_ops
 

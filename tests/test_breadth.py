@@ -185,3 +185,43 @@ def test_discontinuity_adjust_runs():
     vol = jnp.asarray(r.random((12, 16, 20)), jnp.float32)
     out = discontinuity_adjust(jnp.asarray(disp), vol)
     assert out.shape == (16, 20)
+
+
+def test_jbf_aggregation_smooths_and_preserves_edges(rng):
+    """JBF (JBF_STANDARD path, cpp:5738-5767): constant volume is a fixed
+    point; noisy volume variance drops; guide edges limit cross-talk."""
+    import jax.numpy as jnp
+
+    from mystereomatching_tpu.ops.aws import jbf_volume
+
+    h, w, d = 24, 32, 6
+    img = np.zeros((h, w, 3), np.float32)
+    img[:, w // 2:] = 200.0
+    const = jnp.ones((d, h, w), jnp.float32) * 3.0
+    out = jbf_volume(const, jnp.asarray(img), radius=3)
+    np.testing.assert_allclose(np.asarray(out), 3.0, rtol=1e-5)
+
+    noisy = jnp.asarray(rng.random((d, h, w)), jnp.float32)
+    sm = np.asarray(jbf_volume(noisy, jnp.asarray(img), radius=3))
+    assert sm.var() < np.asarray(noisy).var() * 0.5
+
+
+def test_jbf_pipeline_runs(small_pair):
+    import numpy as np
+
+    from mystereomatching_tpu.config import default_config
+    from mystereomatching_tpu.pipeline import StereoPipeline
+
+    cfg = default_config(max_disp=small_pair.max_disp, aggregation="jbf",
+                         jbf_radius=4, do_refine=False, do_lr_consis=False,
+                         compute_both_volumes=False)
+    out = StereoPipeline(cfg)(small_pair.left, small_pair.right)
+    d = np.asarray(out["disparity"])
+    assert d.shape == small_pair.left.shape[:2]
+
+
+def test_show_params_marks_overrides():
+    from mystereomatching_tpu.config import default_config
+
+    s = default_config(max_disp=15, aggregation="gf").show_params()
+    assert "aggregation" in s and "*" in s

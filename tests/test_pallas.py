@@ -50,3 +50,16 @@ def test_area_formula_matches_mask_count(rng):
     want = sum(((k >= -an) & (k <= ap)).astype(np.float32)
                for k in range(-m, m + 1))
     np.testing.assert_allclose(np.asarray(area), np.asarray(want))
+
+
+@pytest.mark.parametrize("choose_small", [True, False])
+def test_wta_pallas_matches_argmin(rng, choose_small):
+    import jax.numpy as jnp
+
+    from mystereomatching_tpu.ops.pallas_kernels import wta_pallas
+
+    vol = jnp.asarray(rng.integers(0, 7, (9, 21, 33)), jnp.float32)  # ties!
+    got = np.asarray(wta_pallas(vol, choose_small, interpret=True))
+    want = np.asarray((jnp.argmin(vol, 0) if choose_small
+                       else jnp.argmax(vol, 0)).astype(jnp.int32))
+    np.testing.assert_array_equal(got, want)
