@@ -23,7 +23,7 @@ import time
 CPU_BASELINE_MPDS = 5.0
 
 H, W, D = 375, 450, 60
-BATCH = 4          # frames per dispatch (throughput/serving mode)
+BATCH = 12         # frames per dispatch (throughput/serving mode; also amortizes the ~25ms tunnel dispatch round-trip)
 WARMUP = 2
 ITERS = 5
 

@@ -36,11 +36,40 @@ def cbca(
     the support-area volume receives the identical transform and divides
     the result (genfinalVm_cbca cpp:3969-3992).
 
-    Per iteration, the first pass derives the area from the tap masks
-    directly (area starts as ones); the second pass aggregates vol and
-    area together in one fused tap loop ([2,D,H,W] stack).
+    Per iteration, the first pass derives the area directly from the arms
+    (count = armN + armP + 1); the second pass aggregates vol and area
+    together in one fused tap loop ([2,D,H,W] stack).
+
+    On TPU the passes run as sublane Pallas kernels with explicit layout
+    management: the W-axis passes operate on one pre-transposed [D,W,H]
+    copy of the horizontal arms instead of transposing arms per call.
     """
+    from mystereomatching_tpu.ops import pallas_kernels as pk
+
     armL, armR, armU, armD = (arms_int[i] for i in range(4))
+
+    def area_of(an, ap):
+        return jnp.broadcast_to(
+            (jnp.minimum(an, max_arm) + jnp.minimum(ap, max_arm) + 1
+             ).astype(vol.dtype), vol.shape)
+
+    if pk.tpu_backend():
+        swap = lambda x: jnp.swapaxes(x, -1, -2)
+        armLT, armRT = swap(armL), swap(armR)            # [D, W, H]
+        for it in range(iterations):
+            if it % 2 == 0:                              # H-dir pass, then V
+                volT = pk._sublane_pass(swap(vol)[None], armLT, armRT,
+                                        max_arm)[0]
+                stacked = jnp.stack([swap(volT), area_of(armL, armR)])
+                stacked = pk._sublane_pass(stacked, armU, armD, max_arm)
+                vol = stacked[0] / jnp.maximum(stacked[1], 1.0)
+            else:                                        # V-dir pass, then H
+                v1 = pk._sublane_pass(vol[None], armU, armD, max_arm)[0]
+                stackedT = pk._sublane_pass(
+                    swap(jnp.stack([v1, area_of(armU, armD)])),
+                    armLT, armRT, max_arm)
+                vol = swap(stackedT[0] / jnp.maximum(stackedT[1], 1.0))
+        return vol
 
     for it in range(iterations):
         p1, p2 = (((2, armL, armR), (1, armU, armD)) if it % 2 == 0 else

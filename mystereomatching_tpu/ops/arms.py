@@ -109,11 +109,15 @@ def intersect_arms(
         ref, oth, shift = arms_r, arms_l, -1
         ok = (u + d) < w
     # D static rolls instead of a lane gather (TPU: gathers along the lane
-    # axis are ~10x slower than static shifts); wraps are masked by `ok`
+    # axis are ~10x slower than static shifts); wraps are masked by `ok`.
+    # int16 output: arm lengths are tiny, and this tensor is the biggest
+    # CBCA operand (4*D*H*W) — halving it halves the kernels' arm traffic.
+    ref = ref.astype(jnp.int16)
+    oth = oth.astype(jnp.int16)
     sh = jnp.stack([jnp.roll(oth, shift * dd, axis=-1)
                     for dd in range(num_disp)], axis=1)  # [4, D, H, W]
     out = jnp.minimum(ref[:, None], sh)
-    return jnp.where(ok[None, :, None, :], out, 0)
+    return jnp.where(ok[None, :, None, :], out, jnp.int16(0))
 
 
 def arm_bounded_sum(vol: jnp.ndarray, arm_neg: jnp.ndarray, arm_pos: jnp.ndarray,
@@ -132,13 +136,24 @@ def arm_bounded_sum(vol: jnp.ndarray, arm_neg: jnp.ndarray, arm_pos: jnp.ndarray
 
     vol: any shape; arm_neg/arm_pos broadcastable to vol's shape.
     """
-    dispatched = _try_pallas(vol, arm_neg, arm_pos, axis, max_arm)
+    return arm_bounded_reduce(vol, arm_neg, arm_pos, axis, max_arm, "sum")
+
+
+def arm_bounded_reduce(vol: jnp.ndarray, arm_neg: jnp.ndarray,
+                       arm_pos: jnp.ndarray, axis: int, max_arm: int = 34,
+                       op: str = "sum") -> jnp.ndarray:
+    """Arm-bounded reduction (op: "sum" | "min" | "max") along ``axis``.
+
+    min/max support the unanimity form of region vote (the reference's
+    integer-ratio quirk, cpp:7266) without materializing a per-disparity
+    histogram."""
+    dispatched = _try_pallas(vol, arm_neg, arm_pos, axis, max_arm, op)
     if dispatched is not None:
         return dispatched
-    return _arm_bounded_sum_taps(vol, arm_neg, arm_pos, axis, max_arm)
+    return _arm_bounded_reduce_taps(vol, arm_neg, arm_pos, axis, max_arm, op)
 
 
-def _try_pallas(vol, arm_neg, arm_pos, axis, max_arm):
+def _try_pallas(vol, arm_neg, arm_pos, axis, max_arm, op="sum"):
     """Route to the Pallas VMEM-resident kernel when shapes permit.
 
     Accepted layouts (covering every call site): reduction axis is one of
@@ -169,7 +184,7 @@ def _try_pallas(vol, arm_neg, arm_pos, axis, max_arm):
     an = arm_neg.reshape((ba,) + arm_neg.shape[-2:])
     ap = arm_pos.reshape((ba,) + arm_pos.shape[-2:])
     kaxis = 2 if axis == nd - 2 else 3
-    out = pk.arm_bounded_sum_pallas(v4, an, ap, kaxis, max_arm)
+    out = pk.arm_bounded_sum_pallas(v4, an, ap, kaxis, max_arm, op=op)
     return out[0] if nd == 3 else out
 
 
@@ -180,23 +195,36 @@ def np_prod(xs) -> int:
     return p
 
 
-def _arm_bounded_sum_taps(vol, arm_neg, arm_pos, axis, max_arm):
+def _reduce_identity(dtype, op):
+    if op == "sum":
+        return 0
+    info = (jnp.iinfo if jnp.issubdtype(dtype, jnp.integer) else jnp.finfo)(dtype)
+    return info.max if op == "min" else info.min
+
+
+def _arm_bounded_reduce_taps(vol, arm_neg, arm_pos, axis, max_arm, op="sum"):
+    combine = {"sum": jnp.add, "min": jnp.minimum, "max": jnp.maximum}[op]
+    ident = jnp.asarray(_reduce_identity(vol.dtype, op), vol.dtype)
     n = vol.shape[axis]
     pad_width = [(0, 0)] * vol.ndim
     pad_width[axis] = (max_arm, max_arm)
-    padded = jnp.pad(vol, pad_width)
+    padded = jnp.pad(vol, pad_width, constant_values=ident)
 
     def slc(k):
         ix = [slice(None)] * vol.ndim
         ix[axis] = slice(k + max_arm, k + max_arm + n)
         return padded[tuple(ix)]
 
-    out = jnp.zeros_like(vol)
+    out = jnp.full_like(vol, ident)
     for k in range(-max_arm, max_arm + 1):
         shifted = slc(k)
         mask = (k >= -arm_neg) & (k <= arm_pos)
-        out = out + jnp.where(mask, shifted, jnp.zeros_like(shifted))
+        out = combine(out, jnp.where(mask, shifted, ident))
     return out
+
+
+def _arm_bounded_sum_taps(vol, arm_neg, arm_pos, axis, max_arm):
+    return _arm_bounded_reduce_taps(vol, arm_neg, arm_pos, axis, max_arm, "sum")
 
 
 def arm_bounded_sum_dir(vol: jnp.ndarray, arm_neg: jnp.ndarray,

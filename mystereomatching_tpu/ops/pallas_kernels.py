@@ -53,36 +53,52 @@ def tpu_backend() -> bool:
     return plat in ("tpu", "axon")
 
 
-def _taps_kernel(vol_ref, an_ref, ap_ref, out_ref, buf, *, max_arm: int):
-    """One arm-bounded-sum pass along the sublane (axis-2) block dim.
+_REDUCE_OPS = {
+    "sum": (jnp.add, lambda dt: 0),
+    "min": (jnp.minimum, lambda dt: (jnp.iinfo(dt).max
+                                     if jnp.issubdtype(dt, jnp.integer)
+                                     else jnp.finfo(dt).max)),
+    "max": (jnp.maximum, lambda dt: (jnp.iinfo(dt).min
+                                     if jnp.issubdtype(dt, jnp.integer)
+                                     else jnp.finfo(dt).min)),
+}
+
+
+def _taps_kernel(vol_ref, an_ref, ap_ref, out_ref, buf, *, max_arm: int,
+                 op: str):
+    """One arm-bounded reduction pass along the sublane (axis-2) block dim.
 
     vol_ref/out_ref: [C, 1, A, B]; an/ap_ref: [1, A, B] int32;
-    buf: [C, 1, A + 2*max_arm, B] scratch.
+    buf: [C, 1, A + 2*max_arm, B] scratch padded with the op identity.
     """
+    combine, ident_of = _REDUCE_OPS[op]
+    ident = jnp.asarray(ident_of(vol_ref.dtype), vol_ref.dtype)
     m = max_arm
     a = vol_ref.shape[2]
     v = vol_ref[:]
-    buf[:, :, :m, :] = jnp.zeros_like(buf[:, :, :m, :])
-    buf[:, :, m + a:, :] = jnp.zeros_like(buf[:, :, m + a:, :])
+    buf[:, :, :m, :] = jnp.full_like(buf[:, :, :m, :], ident)
+    buf[:, :, m + a:, :] = jnp.full_like(buf[:, :, m + a:, :], ident)
     buf[:, :, m:m + a, :] = v
-    an = an_ref[:][None]          # [1, 1, A, B]
-    ap = ap_ref[:][None]
-    zero = jnp.zeros_like(v)
-    kmax = jnp.maximum(jnp.max(an_ref[:]), jnp.max(ap_ref[:]))
+    # arms arrive in their storage dtype (int8/16/32); widen once per block
+    an = an_ref[:].astype(jnp.int32)[None]          # [1, 1, A, B]
+    ap = ap_ref[:].astype(jnp.int32)[None]
+    fill = jnp.full_like(v, ident)
+    kmax = jnp.maximum(jnp.max(an), jnp.max(ap))
 
     def body(k, acc):
         fwd = buf[:, :, pl.ds(m + k, a), :]     # v[x + k]
         bwd = buf[:, :, pl.ds(m - k, a), :]     # v[x - k]
-        acc = acc + jnp.where(ap >= k, fwd, zero)
-        acc = acc + jnp.where(an >= k, bwd, zero)
+        acc = combine(acc, jnp.where(ap >= k, fwd, fill))
+        acc = combine(acc, jnp.where(an >= k, bwd, fill))
         return acc
 
     out_ref[:] = jax.lax.fori_loop(1, jnp.minimum(kmax, m) + 1, body, v)
 
 
 def _sublane_pass(vol: jnp.ndarray, an: jnp.ndarray, ap: jnp.ndarray,
-                  max_arm: int, interpret: bool = False) -> jnp.ndarray:
-    """Arm-bounded sum along axis 2 of vol [C, B, A, L]; arms [Ba, A, L]."""
+                  max_arm: int, interpret: bool = False,
+                  op: str = "sum") -> jnp.ndarray:
+    """Arm-bounded reduction along axis 2 of vol [C, B, A, L]; arms [Ba, A, L]."""
     c, b, a, l = vol.shape
     ba = an.shape[0]
     bt = min(l, 128)
@@ -92,7 +108,7 @@ def _sublane_pass(vol: jnp.ndarray, an: jnp.ndarray, ap: jnp.ndarray,
     arm_spec = pl.BlockSpec((1, a, bt),
                             lambda bi, t: (bi if ba != 1 else 0, 0, t),
                             memory_space=pltpu.VMEM)
-    kern = functools.partial(_taps_kernel, max_arm=max_arm)
+    kern = functools.partial(_taps_kernel, max_arm=max_arm, op=op)
     return pl.pallas_call(
         kern,
         grid=grid,
@@ -105,7 +121,7 @@ def _sublane_pass(vol: jnp.ndarray, an: jnp.ndarray, ap: jnp.ndarray,
             bytes_accessed=vol.size * 8 + an.size * 8,
             transcendentals=0),
         interpret=interpret,
-    )(vol, an.astype(jnp.int32), ap.astype(jnp.int32))
+    )(vol, an, ap)
 
 
 def _wta_kernel(vol_ref, out_ref, *, choose_small: bool):
@@ -242,19 +258,20 @@ def arm_bounded_sum_pallas(
     axis: int,
     max_arm: int,
     interpret: bool = False,
+    op: str = "sum",
 ) -> jnp.ndarray:
-    """Arm-bounded 1-D sum along a spatial axis, Pallas TPU path.
+    """Arm-bounded 1-D reduction along a spatial axis, Pallas TPU path.
 
     vol: [C, B, H, W] (C = channels sharing the same arms, B = batch,
     e.g. disparities); arm_neg/arm_pos: [Ba, H, W] int32 with Ba in
-    {1, B}; axis: 2 (H) or 3 (W). Returns vol-shaped sum over
-    [x - arm_neg, x + arm_pos].
+    {1, B}; axis: 2 (H) or 3 (W); op: "sum" | "min" | "max". Returns the
+    vol-shaped reduction over [x - arm_neg, x + arm_pos].
     """
     assert vol.ndim == 4 and arm_neg.ndim == 3, (vol.shape, arm_neg.shape)
     assert arm_neg.shape[0] in (1, vol.shape[1]) and axis in (2, 3)
     if axis == 2:
-        return _sublane_pass(vol, arm_neg, arm_pos, max_arm, interpret)
+        return _sublane_pass(vol, arm_neg, arm_pos, max_arm, interpret, op)
     out = _sublane_pass(jnp.swapaxes(vol, 2, 3),
                         jnp.swapaxes(arm_neg, 1, 2),
-                        jnp.swapaxes(arm_pos, 1, 2), max_arm, interpret)
+                        jnp.swapaxes(arm_pos, 1, 2), max_arm, interpret, op)
     return jnp.swapaxes(out, 2, 3)

@@ -14,7 +14,7 @@ from typing import Optional, Tuple
 import numpy as np
 import jax.numpy as jnp
 
-from mystereomatching_tpu.ops.arms import arm_bounded_sum
+from mystereomatching_tpu.ops.arms import arm_bounded_reduce, arm_bounded_sum
 from mystereomatching_tpu.ops.median import median_small, median_masked
 
 
@@ -23,15 +23,23 @@ from mystereomatching_tpu.ops.median import median_small, median_masked
 # ---------------------------------------------------------------------------
 
 def lr_consistency(d_left: jnp.ndarray, d_right: jnp.ndarray,
-                   max_diff: int = 0) -> jnp.ndarray:
+                   max_diff: int = 0, num_disp: int = None) -> jnp.ndarray:
     """Plain LRC: invalidate (-1) where d<0, u-d<0, or
-    |d_L(u) - d_R(u-d)| > max_diff (cpp:2262-2282)."""
+    |d_L(u) - d_R(u-d)| > max_diff (cpp:2262-2282).
+
+    When ``num_disp`` is given, the matched-pixel lookup runs as D static
+    rolls + selects instead of a per-element lane gather (~5x on TPU)."""
     h, w = d_left.shape
     u = jnp.arange(w, dtype=jnp.int32)[None, :]
     x = u - d_left
     ok_range = (d_left >= 0) & (x >= 0)
-    xc = jnp.clip(x, 0, w - 1)
-    dr = jnp.take_along_axis(d_right, xc, axis=1)
+    if num_disp is not None:
+        dr = jnp.zeros_like(d_left)
+        for dd in range(num_disp):
+            dr = jnp.where(d_left == dd, jnp.roll(d_right, dd, axis=1), dr)
+    else:
+        xc = jnp.clip(x, 0, w - 1)
+        dr = jnp.take_along_axis(d_right, xc, axis=1)
     ok = ok_range & (jnp.abs(d_left - dr) <= max_diff)
     return jnp.where(ok, d_left, -1)
 
@@ -111,6 +119,28 @@ def region_vote(
     """
     d_ = num_disp
     valid = disp >= 0
+    if int_ratio_quirk:
+        # Unanimity form: all-agree <=> support min == support max, so the
+        # per-disparity histogram (D+1 aggregated planes) collapses to 3:
+        # min(disp), max(disp) (as min of -disp, one stacked pass), count.
+        big = jnp.iinfo(jnp.int32).max
+        dmin_in = jnp.where(valid, disp, big).astype(jnp.int32)
+        dmax_in = jnp.where(valid, -disp, big).astype(jnp.int32)
+        mm = jnp.stack([dmin_in, dmax_in])
+        mm = arm_bounded_reduce(mm, arms[0][None], arms[1][None], axis=2,
+                                max_arm=max_arm, op="min")
+        mm = arm_bounded_reduce(mm, arms[2][None], arms[3][None], axis=1,
+                                max_arm=max_arm, op="min")
+        vcount = arm_bounded_sum(valid.astype(jnp.int32)[None],
+                                 arms[0][None], arms[1][None], axis=2,
+                                 max_arm=max_arm)
+        vcount = arm_bounded_sum(vcount, arms[2][None], arms[3][None],
+                                 axis=1, max_arm=max_arm)[0]
+        dmin, dmax = mm[0], -mm[1]
+        unanimous = (dmin == dmax) & (dmin != big)
+        accept = (~valid) & (vcount > s_thres) & unanimous
+        return jnp.where(accept, dmin.astype(disp.dtype), disp)
+
     onehot = (disp[None] == jnp.arange(d_, dtype=disp.dtype)[:, None, None])
     onehot = (onehot & valid[None]).astype(jnp.int32)  # int32: exact counts
     # H pass with each pixel's own horizontal arms, then V pass with the
@@ -126,13 +156,10 @@ def region_vote(
 
     disp_most = jnp.argmax(hist, 0).astype(disp.dtype)
     n_most = jnp.max(hist, 0)
-    if int_ratio_quirk:
-        ratio_ok = n_most >= vcount  # integer-division quirk: all agree
-    else:
-        # float64-free exact ratio test: n/v >= r  <=>  n >= r*v, with r a
-        # rational-safe comparison done in float64-equivalent integers
-        ratio_ok = n_most.astype(jnp.float32) * 10 >= (
-            jnp.float32(h_ratio * 10) * vcount.astype(jnp.float32))
+    # float64-free exact ratio test: n/v >= r  <=>  n >= r*v, with r a
+    # rational-safe comparison done in float64-equivalent integers
+    ratio_ok = n_most.astype(jnp.float32) * 10 >= (
+        jnp.float32(h_ratio * 10) * vcount.astype(jnp.float32))
     accept = (~valid) & (vcount > s_thres) & ratio_ok
     return jnp.where(accept, disp_most, disp)
 

@@ -120,7 +120,8 @@ def refine(d_left, d_right, vol_left, left, arms0, cfg: MatchConfig):
                 d, d_right, cfg.num_disp, cfg.lr_max_diff,
                 cfg.disp_occ, cfg.disp_mis)
         else:
-            d = refine_ops.lr_consistency(d, d_right, cfg.lr_max_diff)
+            d = refine_ops.lr_consistency(d, d_right, cfg.lr_max_diff,
+                                          num_disp=cfg.num_disp)
     lrc_fail = d < 0
     if cfg.do_pkr:
         d = refine_ops.apply_pkr(d, vol_left, cfg.pkr_thresh, cfg.disp_pkr)

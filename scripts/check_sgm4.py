@@ -1,0 +1,73 @@
+"""A/B: G as grid dim (current) vs G inside the block (4x fewer row steps)."""
+import functools, time
+import jax, jax.numpy as jnp, numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+G, D, H, W, REPS = 4, 60, 375, 450, 6
+
+def _cdiv(a, b): return -(-a // b)
+def sync(x): return float(jnp.sum(x))
+def bench(fn, *args, iters=3):
+    sync(fn(*args)); sync(fn(*args))
+    t0 = time.perf_counter()
+    for _ in range(iters): sync(fn(*args))
+    return (time.perf_counter() - t0) / iters / REPS
+
+def kern_g(vol_ref, ps_ref, out_ref, carry, *, p1, p2):
+    # vol/out [G, hc, D, wt]; ps [G, hc, wt]; carry [G, D, wt]
+    g, hc, d_, wt = vol_ref.shape
+    big = jnp.asarray(jnp.finfo(vol_ref.dtype).max, vol_ref.dtype)
+    big_row = jnp.full((g, 1, wt), big, vol_ref.dtype)
+
+    @pl.when(pl.program_id(1) == 0)
+    def _(): carry[:] = jnp.zeros_like(carry)
+
+    def row(r, prev):
+        c = vol_ref[:, r]                                  # [G, D, wt]
+        ps = ps_ref[:, pl.ds(r, 1), :]                     # [G, 1, wt]
+        min_l = jnp.min(prev, axis=1, keepdims=True)       # [G, 1, wt]
+        up = jnp.concatenate([big_row, prev[:, :-1]], 1)
+        dn = jnp.concatenate([prev[:, 1:], big_row], 1)
+        best = jnp.minimum(jnp.minimum(prev, min_l + p2 * ps),
+                           jnp.minimum(up, dn) + p1 * ps)
+        l = c + best - min_l
+        out_ref[:, r] = l
+        return l
+
+    carry[:] = jax.lax.fori_loop(0, hc, row, carry[:])
+
+def scan_g(vol, ps, p1=1.0, p2=3.0):
+    # vol [G, H, D, W]
+    g, h, d_, w = vol.shape
+    wt = 256 if w > 256 else _cdiv(w, 128) * 128
+    hc = max(8, min(h, (9 * 1024 * 1024) // (16 * g * d_ * wt) // 8 * 8))
+    grid = (_cdiv(w, wt), _cdiv(h, hc))
+    vs = pl.BlockSpec((g, hc, d_, wt), lambda wi, hi: (0, hi, 0, wi), memory_space=pltpu.VMEM)
+    is_ = pl.BlockSpec((g, hc, wt), lambda wi, hi: (0, hi, wi), memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(kern_g, p1=p1, p2=p2),
+        grid=grid, in_specs=[vs, is_], out_specs=vs,
+        out_shape=jax.ShapeDtypeStruct(vol.shape, vol.dtype),
+        scratch_shapes=[pltpu.VMEM((g, d_, wt), vol.dtype)],
+    )(vol, ps)
+
+rng = np.random.default_rng(0)
+vol4 = jnp.asarray(rng.random((G, D, H, W), np.float32))
+ps4 = jnp.asarray(rng.random((G, H, W), np.float32))
+volT = jnp.swapaxes(vol4, 1, 2)
+
+def chain(fn):
+    def f(x, *a):
+        for _ in range(REPS): x = fn(x, *a) * 1e-2
+        return x
+    return jax.jit(f)
+
+from mystereomatching_tpu.ops import pallas_kernels as pk
+a = pk.sgm_scan_pallas(vol4, ps4)
+b = jnp.swapaxes(scan_g(volT, ps4), 1, 2)
+print("diff:", float(jnp.max(jnp.abs(a - b))))
+t1 = bench(chain(lambda v, p: scan_g(v, p)), volT, ps4)
+print(f"G-in-block kernel:    {t1*1e3:7.2f} ms")
+t2 = bench(chain(lambda v, p: jnp.swapaxes(scan_g(jnp.swapaxes(v, 1, 2), p), 1, 2)), vol4, ps4)
+print(f"G-in-block + transp:  {t2*1e3:7.2f} ms")

@@ -63,3 +63,18 @@ def test_wta_pallas_matches_argmin(rng, choose_small):
     want = np.asarray((jnp.argmin(vol, 0) if choose_small
                        else jnp.argmax(vol, 0)).astype(jnp.int32))
     np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.parametrize("op", ["min", "max"])
+def test_pallas_reduce_minmax_matches_taps(rng, op):
+    from mystereomatching_tpu.ops.pallas_kernels import arm_bounded_sum_pallas
+
+    b, h, w, m = 3, 16, 24, 5
+    vol = jnp.asarray(rng.integers(-9, 9, (1, b, h, w)), jnp.int32)
+    vv = jnp.arange(h)[:, None]
+    an = jnp.minimum(jnp.asarray(rng.integers(0, m + 1, (b, h, w)), jnp.int32), vv)
+    ap = jnp.minimum(jnp.asarray(rng.integers(0, m + 1, (b, h, w)), jnp.int32),
+                     h - 1 - vv)
+    got = arm_bounded_sum_pallas(vol, an, ap, 2, m, interpret=True, op=op)
+    want = A._arm_bounded_reduce_taps(vol, an[None], ap[None], 2, m, op)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
