@@ -124,6 +124,76 @@ def _sublane_pass(vol: jnp.ndarray, an: jnp.ndarray, ap: jnp.ndarray,
     )(vol, an, ap)
 
 
+def _pi_dir_kernel(dpad_ref, cpad_ref, dsp_ref, cdf_ref, *, offs_k, m: int):
+    """One direction of the nearest-valid scan (properIpol cpp:7395-7490).
+
+    dpad_ref: [Hp, Wp] int32 disparity padded by m with -1;
+    cpad_ref: [3, Hp, Wp] f32 image padded with 1e9. Outputs: first valid
+    disparity along the ray (dsp, -1 if none) and its max-channel color
+    diff (cdf, +max if none). State lives in the output refs so the
+    unrolled steps' temporaries die immediately (a single 16x20-step
+    kernel blows Mosaic's compile budget).
+    """
+    h = dsp_ref.shape[0]
+    w = dsp_ref.shape[1]
+    inf = jnp.float32(jnp.finfo(jnp.float32).max)
+    dsp_ref[:] = jnp.full((h, w), -1, jnp.int32)
+    cdf_ref[:] = jnp.full((h, w), inf, jnp.float32)
+    for dv, du in offs_k:
+        nd = dpad_ref[m + dv:m + dv + h, m + du:m + du + w]
+        hit = (dsp_ref[:] < 0) & (nd >= 0)
+        # channel-by-channel [H,W] pieces: a [3,H,W] per-step temp tips the
+        # kernel over the scoped-VMEM budget
+        cd = jnp.abs(cpad_ref[0, m + dv:m + dv + h, m + du:m + du + w]
+                     - cpad_ref[0, m:m + h, m:m + w])
+        for c in (1, 2):
+            cd = jnp.maximum(
+                cd, jnp.abs(cpad_ref[c, m + dv:m + dv + h, m + du:m + du + w]
+                            - cpad_ref[c, m:m + h, m:m + w]))
+        dsp_ref[:] = jnp.where(hit, nd, dsp_ref[:])
+        cdf_ref[:] = jnp.where(hit, cd, cdf_ref[:])
+
+
+def proper_interpolation_pallas(disp: jnp.ndarray, image_chw: jnp.ndarray,
+                                offsets, interpret: bool = False):
+    """16-direction nearest-valid scan: pad once in XLA, then one compact
+    Pallas kernel per direction (whole plane in VMEM; 20 static-slice taps
+    replace 320 HBM-materialized shifts). Returns (occ_fill, mis_disp,
+    mis_cdif, found_any); callers gate on plane size fitting VMEM."""
+    h, w = disp.shape
+    m = int(max(abs(int(o)) for ks in offsets for st in ks for o in st))
+    dpad = jnp.pad(disp.astype(jnp.int32), m, constant_values=-1)
+    cpad = jnp.pad(image_chw.astype(jnp.float32),
+                   ((0, 0), (m, m), (m, m)), constant_values=1e9)
+    vspec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    out_shapes = (jax.ShapeDtypeStruct((h, w), jnp.int32),
+                  jax.ShapeDtypeStruct((h, w), jnp.float32))
+
+    big = jnp.int32(10 ** 6)
+    inf = jnp.float32(jnp.finfo(jnp.float32).max)
+    occ = jnp.full((h, w), big, jnp.int32)
+    fany = jnp.zeros((h, w), jnp.bool_)
+    misd = jnp.full((h, w), -1, jnp.int32)
+    misc = jnp.full((h, w), inf, jnp.float32)
+    for k in range(len(offsets)):
+        offs_k = tuple((int(st[0]), int(st[1])) for st in offsets[k])
+        dsp, cdf = pl.pallas_call(
+            functools.partial(_pi_dir_kernel, offs_k=offs_k, m=m),
+            in_specs=[vspec, vspec],
+            out_specs=(vspec, vspec),
+            out_shape=out_shapes,
+            interpret=interpret,
+        )(dpad, cpad)
+        ok = dsp >= 0
+        occ = jnp.minimum(occ, jnp.where(ok, dsp, big))
+        fany = fany | ok
+        cde = jnp.where(ok & (cdf < 255.0), cdf, inf)
+        upd = cde < misc                 # first strict min wins (argmin)
+        misd = jnp.where(upd, dsp, misd)
+        misc = jnp.where(upd, cde, misc)
+    return occ, misd, misc, fany.astype(jnp.int32)
+
+
 def _wta_kernel(vol_ref, out_ref, *, choose_small: bool):
     """First-occurrence argmin/argmax over the leading (D) block axis.
 

@@ -221,6 +221,24 @@ def proper_interpolation(
     img = jnp.moveaxis(image.astype(jnp.float32), -1, 0)
     inval = disp < 0
 
+    from mystereomatching_tpu.ops import pallas_kernels as pk
+
+    h, w = disp.shape
+    if pk.tpu_backend() and h * w * 4 * 16 < 12 * 1024 * 1024:
+        # whole-plane VMEM kernel (one pass instead of 320 HBM-bound steps)
+        occ_fill, mis_raw, mis_cdif, fany = pk.proper_interpolation_pallas(
+            disp, img, offs)
+        found_any = fany > 0
+        mis_found = jnp.isfinite(mis_cdif) & (
+            mis_cdif < jnp.finfo(jnp.float32).max)
+        mis_fill = jnp.where(mis_found, mis_raw.astype(disp.dtype), disp)
+        is_occ = disp == disp_occ
+        fill = jnp.where(is_occ,
+                         jnp.where(found_any, occ_fill.astype(disp.dtype),
+                                   disp),
+                         mis_fill)
+        return jnp.where(inval, fill, disp)
+
     dir_disp = []
     dir_cdif = []
     for k in range(16):

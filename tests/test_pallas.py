@@ -78,3 +78,32 @@ def test_pallas_reduce_minmax_matches_taps(rng, op):
     got = arm_bounded_sum_pallas(vol, an, ap, 2, m, interpret=True, op=op)
     want = A._arm_bounded_reduce_taps(vol, an[None], ap[None], 2, m, op)
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_proper_interpolation_pallas_matches_xla(rng, small_pair):
+    import jax.numpy as jnp
+
+    from mystereomatching_tpu.ops import refine as R
+    from mystereomatching_tpu.ops.pallas_kernels import proper_interpolation_pallas
+
+    h, w, depth = 40, 56, 6
+    disp = jnp.asarray(rng.integers(-1, 12, (h, w)), jnp.int32)
+    disp = jnp.where(jnp.asarray(rng.random((h, w)) < 0.2), -32, disp)
+    img = jnp.asarray(rng.integers(0, 255, (h, w, 3)), jnp.float32)
+
+    want = np.asarray(R.proper_interpolation(disp, img, depth))  # XLA path (CPU)
+
+    offs = R._pi_offsets(depth)
+    occ, misd, misc, fany = proper_interpolation_pallas(
+        disp, jnp.moveaxis(img, -1, 0), offs, interpret=True)
+    inval = disp < 0
+    found_any = fany > 0
+    mis_found = np.asarray(misc) < np.finfo(np.float32).max
+    mis_fill = np.where(mis_found, np.asarray(misd), np.asarray(disp))
+    is_occ = np.asarray(disp) == -32
+    fill = np.where(is_occ,
+                    np.where(np.asarray(found_any), np.asarray(occ),
+                             np.asarray(disp)),
+                    mis_fill)
+    got = np.where(np.asarray(inval), fill, np.asarray(disp))
+    np.testing.assert_array_equal(got, want)
