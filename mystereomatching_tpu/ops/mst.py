@@ -82,31 +82,33 @@ def boruvka_mst(wr: jnp.ndarray, wd: jnp.ndarray) -> jnp.ndarray:
     n = h * w
     eu, ev, ew = _flatten_edges(wr, wd)
     e = eu.shape[0]
-    rounds = max(1, math.ceil(math.log2(max(n, 2))))
-    jump_rounds = rounds + 1
     big_w = jnp.int32(1 << 30)
     big_i = jnp.int32(e)
 
     comp = jnp.arange(n, dtype=jnp.int32)
     in_mst = jnp.zeros((e,), jnp.bool_)
 
-    def round_body(state, _):
+    # edge endpoints are grid-structured: comp[eu]/comp[ev] are SLICES of
+    # comp reshaped [H, W] (right edges row-major, down edges col-major) —
+    # arbitrary-index gathers are ~GB/s on TPU, slices are free
+    def end_labels(comp):
+        c2 = comp.reshape(h, w)
+        cu = jnp.concatenate([c2[:, :-1].reshape(-1), c2[:-1, :].T.reshape(-1)])
+        cv = jnp.concatenate([c2[:, 1:].reshape(-1), c2[1:, :].T.reshape(-1)])
+        return cu, cv
+
+    def round_body(state):
         comp, in_mst = state
-        cu = comp[eu]
-        cv = comp[ev]
+        cu, cv = end_labels(comp)
         alive = cu != cv
-        wv = jnp.where(alive, ew, big_w)
-        # min weight per component over outgoing edges (both directions)
-        both_seg = jnp.concatenate([cu, cv])
-        both_w = jnp.concatenate([wv, wv])
-        minw = jax.ops.segment_min(both_w, both_seg, num_segments=n)
-        # min edge index among weight-minimal edges
+        # one packed (weight, index) key: a single segment-min replaces the
+        # min-weight pass + the min-index-among-minimal pass
         eidx = jnp.arange(e, dtype=jnp.int32)
-        elig_u = alive & (ew == minw[cu])
-        elig_v = alive & (ew == minw[cv])
-        both_i = jnp.concatenate([jnp.where(elig_u, eidx, big_i),
-                                  jnp.where(elig_v, eidx, big_i)])
-        mine = jax.ops.segment_min(both_i, both_seg, num_segments=n)
+        key = jnp.where(alive, (ew << 20) | eidx, jnp.int32(1 << 30))
+        both_seg = jnp.concatenate([cu, cv])
+        minkey = jax.ops.segment_min(jnp.concatenate([key, key]), both_seg,
+                                     num_segments=n)
+        mine = jnp.where(minkey < (1 << 30), minkey & ((1 << 20) - 1), big_i)
         has = mine < big_i
 
         # hooking: comp c -> component at the other end of its min edge
@@ -125,14 +127,30 @@ def boruvka_mst(wr: jnp.ndarray, wd: jnp.ndarray) -> jnp.ndarray:
         chosen = jnp.zeros((e,), jnp.int32).at[sel].max(mark, mode="drop")
         in_mst = in_mst | (chosen > 0)
 
-        # pointer jumping to flatten labels
-        for _ in range(jump_rounds):
-            parent = parent[parent]
-        return (parent[comp], in_mst), None
+        # pointer jumping to flatten labels, until stable (typically 3-5
+        # jumps — a fixed log2(N) count costs ~4x the whole MST build in
+        # TPU gather latency)
+        parent = _jump_to_root(parent)
+        return (parent[comp], in_mst)
 
-    (comp, in_mst), _ = jax.lax.scan(round_body, (comp, in_mst), None,
-                                     length=rounds)
+    def has_alive(state):
+        comp, _ = state
+        cu, cv = end_labels(comp)
+        return jnp.any(cu != cv)
+
+    comp, in_mst = jax.lax.while_loop(has_alive, round_body, (comp, in_mst))
     return in_mst
+
+
+def _jump_to_root(parent: jnp.ndarray) -> jnp.ndarray:
+    """Pointer-jump until parent == parent[parent] everywhere."""
+    def cond(p):
+        return jnp.any(p != p[p])
+
+    def body(p):
+        return p[p]
+
+    return jax.lax.while_loop(cond, body, parent)
 
 
 # slot order: 0=right, 1=down, 2=left, 3=up (cyclic for the Euler tour)
@@ -253,26 +271,27 @@ def tree_filter(tree: RootedTree, values: jnp.ndarray, sigma: float = 0.1) -> jn
     sim = jnp.exp(-tree.weight.astype(jnp.float32) / (255.0 * max(sigma, 0.01)))
     sim = jnp.where(jnp.arange(n) == 0, 0.0, sim)     # root climbs nowhere
 
-    rounds = math.ceil(math.log2(max(n, 2)))
-
-    # up pass
-    par = tree.parent
-    wt = sim
-    s_up = x.astype(jnp.float32)
-    for _ in range(rounds):
+    # Doubling rounds run until every path product has crossed the root
+    # (sim[root] = 0 makes wt exactly 0 there), i.e. 2^k >= tree height —
+    # typically far fewer than the static log2(N) worst case.
+    def up_body(state):
+        s_up, wt, par = state
         contrib = jax.ops.segment_sum(wt[:, None] * s_up, par, num_segments=n)
-        s_up = s_up + contrib
-        wt = wt * wt[par]
-        par = par[par]
+        return s_up + contrib, wt * wt[par], par[par]
+
+    def live(state):
+        return jnp.any(state[1] > 0.0)
+
+    s_up, _, _ = jax.lax.while_loop(
+        live, up_body, (x.astype(jnp.float32), sim, tree.parent))
 
     # down pass: S = sim * S(parent) + (1 - sim^2) * S_up, S(root) = S_up(root)
     b = (1.0 - sim * sim)[:, None] * s_up
     b = b.at[0].set(s_up[0])
-    par = tree.parent
-    wt = sim
-    s = b
-    for _ in range(rounds):
-        s = s + wt[:, None] * s[par]
-        wt = wt * wt[par]
-        par = par[par]
+
+    def down_body(state):
+        s, wt, par = state
+        return s + wt[:, None] * s[par], wt * wt[par], par[par]
+
+    s, _, _ = jax.lax.while_loop(live, down_body, (b, sim, tree.parent))
     return s[:, 0] if squeeze else s

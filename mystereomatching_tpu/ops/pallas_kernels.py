@@ -216,23 +216,27 @@ def wta_pallas(vol: jnp.ndarray, choose_small: bool = True,
     vol: [D, H, W] -> int32 [H, W] (first index achieving the extremum,
     matching jnp.argmin/argmax semantics)."""
     d_, h, w = vol.shape
-    # size the row tile so ~4 live [D, at, W] buffers fit in scoped VMEM
-    wp = _cdiv(w, 128) * 128
-    at = max(8, min(h, (10 * 1024 * 1024) // (d_ * wp * 4 * 4) // 8 * 8))
-    grid = (_cdiv(h, at),)
+    # size tiles so ~4 live [D, at, wt] buffers fit in scoped VMEM; for
+    # large D the width tiles before the row tile drops below 8
+    budget = 10 * 1024 * 1024
+    wt = _cdiv(w, 128) * 128
+    while wt > 128 and d_ * wt * 16 * 8 > budget:
+        wt -= 128
+    at = max(8, min(h, budget // (d_ * wt * 16) // 8 * 8))
+    grid = (_cdiv(h, at), _cdiv(w, wt))
     return pl.pallas_call(
         functools.partial(_wta_kernel, choose_small=choose_small),
         grid=grid,
-        in_specs=[pl.BlockSpec((d_, at, w), lambda t: (0, t, 0),
+        in_specs=[pl.BlockSpec((d_, at, wt), lambda t, s: (0, t, s),
                                memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((at, w), lambda t: (t, 0),
+        out_specs=pl.BlockSpec((at, wt), lambda t, s: (t, s),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((h, w), jnp.int32),
         interpret=interpret,
     )(vol)
 
 
-def _sgm_kernel(vol_ref, ps_ref, mask_ref, out_ref, carry,
+def _sgm_kernel(vol_ref, ps_ref, mask_ref, init_ref, out_ref, carry,
                 *, p1: float, p2: float, has_mask: bool):
     """Top-down SGM scan over one [1, D, Hc, Wt] block.
 
@@ -250,7 +254,10 @@ def _sgm_kernel(vol_ref, ps_ref, mask_ref, out_ref, carry,
 
     @pl.when(pl.program_id(2) == 0)
     def _():
-        carry[:] = jnp.zeros_like(carry)
+        if init_ref is None:
+            carry[:] = jnp.zeros_like(carry)
+        else:
+            carry[:] = init_ref[0]      # neighbor band's boundary Lr row
 
     def row(r, prev):
         c = vol_ref[0, :, pl.ds(r, 1), :][:, 0, :]          # [D, Wt]
@@ -271,7 +278,7 @@ def _sgm_kernel(vol_ref, ps_ref, mask_ref, out_ref, carry,
 
 def sgm_scan_pallas(vol: jnp.ndarray, pscale: jnp.ndarray,
                     mask=None, p1: float = 1.0, p2: float = 3.0,
-                    interpret: bool = False) -> jnp.ndarray:
+                    init=None, interpret: bool = False) -> jnp.ndarray:
     """Batched top-down SGM path-cost scan.
 
     vol: [G, D, H, W] cost volumes already oriented so the scan runs
@@ -286,25 +293,35 @@ def sgm_scan_pallas(vol: jnp.ndarray, pscale: jnp.ndarray,
     g, d_, h, w = vol.shape
     # Full-width row steps: the row loop is serial, so fatter rows amortize
     # its fixed per-iteration overhead (measured 4x at Teddy scale vs
-    # 128-lane tiles). Cap by VMEM: vol+out blocks, double-buffered, ~10MB.
+    # 128-lane tiles). Cap by VMEM: vol+out blocks, double-buffered, ~10MB;
+    # for large D the width shrinks before the row chunk drops below 8.
+    budget = 10 * 1024 * 1024
     wt = min(_cdiv(w, 128) * 128, 1280)
-    hc = max(8, min(h, (10 * 1024 * 1024) // (16 * d_ * wt) // 8 * 8))
+    while wt > 128 and 16 * d_ * wt * 8 > budget:
+        wt -= 128
+    hc = max(8, min(h, budget // (16 * d_ * wt) // 8 * 8))
     grid = (g, _cdiv(w, wt), _cdiv(h, hc))
     vol_spec = pl.BlockSpec((1, d_, hc, wt), lambda gi, wi, hi: (gi, 0, hi, wi),
                             memory_space=pltpu.VMEM)
     img_spec = pl.BlockSpec((1, hc, wt), lambda gi, wi, hi: (gi, hi, wi),
                             memory_space=pltpu.VMEM)
+    init_spec = pl.BlockSpec((1, d_, wt), lambda gi, wi, hi: (gi, 0, wi),
+                             memory_space=pltpu.VMEM)
     has_mask = mask is not None
-    in_specs = [vol_spec, img_spec] + ([img_spec] if has_mask else [])
-    args = (vol, pscale) + ((mask.astype(vol.dtype),) if has_mask else ())
+    has_init = init is not None
+    in_specs = ([vol_spec, img_spec] + ([img_spec] if has_mask else [])
+                + ([init_spec] if has_init else []))
+    args = ((vol, pscale) + ((mask.astype(vol.dtype),) if has_mask else ())
+            + ((init.astype(vol.dtype),) if has_init else ()))
 
     def kern(*refs):
-        if has_mask:
-            vol_ref, ps_ref, mask_ref, out_ref, carry = refs
-        else:
-            vol_ref, ps_ref, out_ref, carry = refs
-            mask_ref = None
-        _sgm_kernel(vol_ref, ps_ref, mask_ref, out_ref, carry,
+        it = iter(refs)
+        vol_ref = next(it)
+        ps_ref = next(it)
+        mask_ref = next(it) if has_mask else None
+        init_ref = next(it) if has_init else None
+        out_ref, carry = it
+        _sgm_kernel(vol_ref, ps_ref, mask_ref, init_ref, out_ref, carry,
                     p1=p1, p2=p2, has_mask=has_mask)
 
     return pl.pallas_call(

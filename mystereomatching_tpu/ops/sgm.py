@@ -195,10 +195,18 @@ def sgm_multi(vol_list, img_list, num_directions: int = 4, p1: float = 1.0,
               redu_coeff: float = 4.0):
     """SGM over several volumes at once (e.g. left+right for LRC): all
     same-orientation scans across all volumes share one batched kernel."""
+    return sgm_directions(vol_list, img_list, DIRECTIONS_8[:num_directions],
+                          p1, p2, cor_dif_thres, redu_coeff)
+
+
+def sgm_directions(vol_list, img_list, dirs, p1: float = 1.0,
+                   p2: float = 3.0, cor_dif_thres: int = 15,
+                   redu_coeff: float = 4.0):
+    """SGM path-cost sum over an explicit direction set (also used by the
+    sharded band pipeline for its shard-local horizontal scans)."""
     from mystereomatching_tpu.ops import pallas_kernels as pk
 
     use_pallas = pk.tpu_backend()
-    dirs = DIRECTIONS_8[:num_directions]
     n = len(vol_list)
     out = [jnp.zeros_like(v) for v in vol_list]
     groups = {"v": [], "h": [], "d": []}

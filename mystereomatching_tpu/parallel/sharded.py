@@ -90,7 +90,13 @@ def _vertical_sgm_band(vol, pscale, down: bool, p1, p2, n_chunks: int):
         chunk = lax.dynamic_slice(volp, (0, 0, cc * cw), (d_, h, cw))
         psc = lax.dynamic_slice(psp, (0, cc * cw), (h, cw))
         init = jnp.where(order_idx == 0, jnp.zeros_like(state), state)
-        res = sgm_ops._scan_down(chunk, psc, p1, p2, init=init)
+        from mystereomatching_tpu.ops import pallas_kernels as pk
+
+        if pk.tpu_backend():
+            res = pk.sgm_scan_pallas(chunk[None], psc[None], p1=p1, p2=p2,
+                                     init=init[None])[0]
+        else:
+            res = sgm_ops._scan_down(chunk, psc, p1, p2, init=init)
         out = jnp.where(active,
                         lax.dynamic_update_slice(out, res, (0, 0, cc * cw)),
                         out)
@@ -117,11 +123,10 @@ def _sgm_sharded(vol, image, cfg: MatchConfig, n_chunks: int):
     # vertical: predecessor above (-1,0) scans down; (1,0) scans up
     out = out + _vertical_sgm_band(vol, scale_up, True, cfg.sgm_p1, cfg.sgm_p2, n_chunks)
     out = out + _vertical_sgm_band(vol, scale_dn, False, cfg.sgm_p1, cfg.sgm_p2, n_chunks)
-    # horizontal: row-local
-    for rv, ru in ((0, 1), (0, -1)):
-        out = out + sgm_ops.scan_direction(vol, image, rv, ru, cfg.sgm_p1,
-                                           cfg.sgm_p2, cfg.sgm_cor_dif_thres,
-                                           cfg.sgm_redu_coeff)
+    # horizontal: row-local (batched into one kernel on TPU)
+    out = out + sgm_ops.sgm_directions(
+        [vol], [image], ((0, 1), (0, -1)), cfg.sgm_p1, cfg.sgm_p2,
+        cfg.sgm_cor_dif_thres, cfg.sgm_redu_coeff)[0]
     return out
 
 

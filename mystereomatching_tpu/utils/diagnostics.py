@@ -94,3 +94,67 @@ def assert_shard_consistent(dense: np.ndarray, sharded: np.ndarray,
         raise AssertionError(
             f"shard inconsistency {context}: {mism:.4%} pixels differ "
             f"(allowed {max_mismatch:.4%})")
+
+
+def save_from_vm(vol, path: str, choose_small: bool = True) -> np.ndarray:
+    """WTA a cost volume and save the normalized disparity PNG
+    (saveFromVm cpp:536-546). Returns the uint8 image."""
+    from mystereomatching_tpu.ops.wta import wta
+    from mystereomatching_tpu.utils.imio import disparity_to_image, imwrite
+
+    disp = np.asarray(wta(vol, choose_small))
+    img = disparity_to_image(disp, max_disp=int(vol.shape[0]) - 1)
+    imwrite(path, img)
+    return img
+
+
+def save_from_disp(disp, num_disp: int, path: str) -> np.ndarray:
+    """Save a disparity map PNG with sentinel coloring
+    (saveFromDisp cpp:588-601)."""
+    from mystereomatching_tpu.utils.imio import disparity_to_image, imwrite
+
+    img = disparity_to_image(np.asarray(disp), max_disp=num_disp - 1)
+    imwrite(path, img)
+    return img
+
+
+def sign_correct_from_top(cand_d: np.ndarray, gt: np.ndarray,
+                          thresh: float = 1.0) -> np.ndarray:
+    """Candidate-correctness map (signCorrectFromTopVm h:1928-1998):
+    white = best candidate correct, gray = some non-best candidate correct,
+    black = no candidate correct, 64 = no ground truth.
+
+    cand_d: [H, W, M] top-K candidate disparities (-1 = empty slot)."""
+    g = np.asarray(gt, np.float32)
+    cd = np.asarray(cand_d, np.float32)
+    has = cd >= 0
+    ok = has & (np.abs(cd - g[..., None]) <= thresh)
+    out = np.zeros(g.shape, np.uint8)
+    out[ok.any(-1)] = 128
+    out[ok[..., 0]] = 255
+    out[g <= 0] = 64
+    return out
+
+
+def top_candidates_csv(path: str, cand_d: np.ndarray, cand_c: np.ndarray,
+                       gt: np.ndarray, stride: int = 16) -> None:
+    """Per-pixel candidate dump (genExcelFromTopDisp cpp:7868-7926):
+    subsampled rows of (v, u, gt, cand disparities, cand costs)."""
+    import csv
+    import os
+
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    cd = np.asarray(cand_d)
+    cc = np.asarray(cand_c)
+    g = np.asarray(gt, np.float32)
+    m = cd.shape[-1]
+    with open(path, "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(["v", "u", "gt"]
+                   + [f"d{i}" for i in range(m)]
+                   + [f"c{i}" for i in range(m)])
+        for v in range(0, cd.shape[0], stride):
+            for u in range(0, cd.shape[1], stride):
+                w.writerow([v, u, float(g[v, u])]
+                           + [float(x) for x in cd[v, u]]
+                           + [float(x) for x in cc[v, u]])

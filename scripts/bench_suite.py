@@ -1,0 +1,83 @@
+"""Benchmark the five BASELINE.json configurations on the attached chip.
+
+Writes BENCH_DETAIL.json (list of per-config rows: throughput + quality on
+synthetic oracle scenes). The headline driver metric stays bench.py.
+
+Scales: configs 1/2/4 at their reference scales (Tsukuba / Teddy); config 3
+at Middlebury half-res; config 5 at the largest full-res-class size that
+fits one chip's HBM without disparity-block streaming (see SURVEY.md §7
+hard-part 3 — the [4,D,H,W] intersected-arm tensor dominates).
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mystereomatching_tpu import models
+from mystereomatching_tpu.data import make_synthetic_pair
+from mystereomatching_tpu.pipeline import match_pair
+from mystereomatching_tpu.utils.metrics import bad_pixel_stats
+
+# (model, kwargs, H, W, max_disp, scale_note)
+CONFIGS = [
+    ("ad_census_wta", {}, 288, 384, 15, "tsukuba-scale D=16"),
+    ("census_cbca_lrc", {}, 375, 450, 63, "teddy/cones-scale D=64"),
+    ("sgm8_full", {}, 750, 1000, 127, "middlebury half-res D=128"),
+    ("nl_tree_filter", {}, 375, 450, 59, "teddy-scale D=60"),
+    ("fullres_occfill", {}, 1000, 1400, 191, "2014 large-scale D=192"),
+]
+
+ITERS = 3
+
+
+def run_one(name, kw, h, w, max_disp, note):
+    pair = make_synthetic_pair(h=h, w=w, max_disp=max_disp, seed=0)
+    cfg = models.get_model(name, max_disp=max_disp, **kw)
+    fn = jax.jit(lambda l, r: match_pair(l, r, cfg=cfg)["disparity"])
+    left = jnp.asarray(pair.left, jnp.float32)
+    right = jnp.asarray(pair.right, jnp.float32)
+
+    t0 = time.perf_counter()
+    out = fn(left, right)
+    _ = float(jnp.sum(out))
+    compile_s = time.perf_counter() - t0
+
+    _ = float(jnp.sum(fn(left, right)))
+    t0 = time.perf_counter()
+    for _i in range(ITERS):
+        out = fn(left, right)
+        _ = float(jnp.sum(out))
+    dt = (time.perf_counter() - t0) / ITERS
+
+    d = np.asarray(out, np.float32)
+    bad, _rms = bad_pixel_stats(jnp.asarray(d), jnp.asarray(pair.gt), jnp.asarray(pair.masks["nonocc"]), thresh=1.0)
+    mpds = h * w * (max_disp + 1) / dt / 1e6
+    row = {
+        "config": name, "note": note, "h": h, "w": w,
+        "num_disp": max_disp + 1,
+        "ms_per_frame": round(dt * 1e3, 2),
+        "mp_disp_per_s": round(mpds, 1),
+        "bad1_nonocc": round(float(bad), 4),
+        "compile_s": round(compile_s, 1),
+    }
+    print(json.dumps(row))
+    return row
+
+
+def main():
+    rows = []
+    for spec in CONFIGS:
+        try:
+            rows.append(run_one(*spec))
+        except Exception as e:  # keep going; record the failure
+            rows.append({"config": spec[0], "error": str(e)[:300]})
+            print(f"{spec[0]}: FAILED {str(e)[:200]}")
+    with open("BENCH_DETAIL.json", "w") as f:
+        json.dump(rows, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()

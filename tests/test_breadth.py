@@ -225,3 +225,22 @@ def test_show_params_marks_overrides():
 
     s = default_config(max_disp=15, aggregation="gf").show_params()
     assert "aggregation" in s and "*" in s
+
+
+def test_save_and_top_diagnostics(tmp_path, rng):
+    import jax.numpy as jnp
+
+    from mystereomatching_tpu.utils import diagnostics as D
+
+    vol = jnp.asarray(rng.random((8, 16, 20)), jnp.float32)
+    img = D.save_from_vm(vol, str(tmp_path / "vm.png"))
+    assert img.shape == (16, 20, 3)
+    D.save_from_disp(rng.integers(-1, 8, (16, 20)), 8, str(tmp_path / "d.png"))
+
+    cd = rng.integers(-1, 8, (16, 20, 3))
+    gt = rng.integers(0, 8, (16, 20)).astype(np.float32)
+    sig = D.sign_correct_from_top(cd, gt)
+    assert set(np.unique(sig)) <= {0, 64, 128, 255}
+    D.top_candidates_csv(str(tmp_path / "top.csv"), cd,
+                         rng.random((16, 20, 3)), gt, stride=8)
+    assert (tmp_path / "top.csv").read_text().count("\n") > 1

@@ -107,3 +107,25 @@ def test_proper_interpolation_pallas_matches_xla(rng, small_pair):
                     mis_fill)
     got = np.where(np.asarray(inval), fill, np.asarray(disp))
     np.testing.assert_array_equal(got, want)
+
+
+def test_sgm_scan_pallas_init_carry(rng):
+    """Chunked scans with boundary-carry init == one unchunked scan."""
+    import jax.numpy as jnp
+
+    from mystereomatching_tpu.ops import sgm as S
+    from mystereomatching_tpu.ops.pallas_kernels import sgm_scan_pallas
+
+    d_, h, w = 6, 24, 16
+    vol = jnp.asarray(rng.random((1, d_, h, w)), jnp.float32)
+    ps = jnp.asarray(rng.random((1, h, w)), jnp.float32)
+
+    full = sgm_scan_pallas(vol, ps, interpret=True)
+    top = sgm_scan_pallas(vol[:, :, :h // 2], ps[:, :h // 2], interpret=True)
+    bot = sgm_scan_pallas(vol[:, :, h // 2:], ps[:, h // 2:],
+                          init=top[:, :, -1], interpret=True)
+    got = np.concatenate([np.asarray(top), np.asarray(bot)], axis=2)
+    np.testing.assert_allclose(got, np.asarray(full), rtol=1e-6)
+
+    want = np.asarray(S._scan_down(vol[0], ps[0], 1.0, 3.0))
+    np.testing.assert_allclose(np.asarray(full[0]), want, rtol=1e-6)
