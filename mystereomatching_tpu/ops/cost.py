@@ -390,3 +390,34 @@ def compute_cost_volume(
         zvm = zncc_volume(gray_l, gray_r, d, lor, cfg.zncc_win_rv, cfg.zncc_win_ru)
         return exp_fuse3(census_vm(), zvm, advm, cfg.lam_cen, 1.0, 10.0)
     raise ValueError(f"unknown cost method {method!r}")
+
+
+def grad_mag_phase_volume(gray_l: jnp.ndarray, gray_r: jnp.ndarray,
+                          num_disp: int, lor: int,
+                          trunc_mag: float = 2.0, trunc_phase: float = 0.3,
+                          w_phase: float = 0.5) -> jnp.ndarray:
+    """Gradient magnitude + phase cost (calgradvm_mag_and_phase /
+    getAtanGrad, stereoMatching.cpp:466-534): per pixel
+    cost = min(|mag_l - mag_r|, trunc_mag)
+         + w_phase * min(|atan(gy/gx)_l - atan(gy/gx)_r|, trunc_phase).
+    """
+    def mag_phase(g):
+        gx = central_gradient(g, axis=1)
+        gy = central_gradient(g, axis=0)
+        mag = jnp.sqrt(gx * gx + gy * gy)
+        phase = jnp.arctan2(gy, gx)
+        return mag, phase
+
+    mag_l, ph_l = mag_phase(gray_l.astype(jnp.float32))
+    mag_r, ph_r = mag_phase(gray_r.astype(jnp.float32))
+    ref_m, oth_m = (mag_l, mag_r) if lor == 0 else (mag_r, mag_l)
+    ref_p, oth_p = (ph_l, ph_r) if lor == 0 else (ph_r, ph_l)
+    sh_m = shifted_stack(oth_m, num_disp, lor)
+    sh_p = shifted_stack(oth_p, num_disp, lor)
+    dm = jnp.minimum(jnp.abs(ref_m[None] - sh_m), trunc_mag)
+    # phase difference wrapped to [0, pi]
+    dp = jnp.abs(ref_p[None] - sh_p)
+    dp = jnp.minimum(jnp.minimum(dp, 2 * jnp.pi - dp), trunc_phase)
+    default = trunc_mag + w_phase * trunc_phase
+    valid = valid_mask(gray_l.shape[-1], num_disp, lor)
+    return jnp.where(valid, dm + w_phase * dp, default)

@@ -109,3 +109,18 @@ def test_exp_fusion_formula():
     got = float(exp_fuse2(a, b, 13.0, 1.0)[0, 0])
     want = 2 - np.exp(-1 / 13.0) - np.exp(-2.0)
     assert abs(got - want) < 1e-6
+
+
+def test_grad_mag_phase_volume_zero_at_true_shift(rng):
+    """mag+phase gradient cost (cpp:466-534): zero at the true disparity of
+    a pure horizontal translation (interior), positive elsewhere."""
+    import jax.numpy as jnp
+
+    from mystereomatching_tpu.ops.cost import grad_mag_phase_volume
+
+    g = jnp.asarray(rng.random((24, 40)) * 255, jnp.float32)
+    gr = jnp.roll(g, -3, axis=1)        # right image: left shifted by d=3
+    vol = np.asarray(grad_mag_phase_volume(g, gr, 8, 0))
+    inner = vol[:, 2:-2, 6:-6]
+    assert np.allclose(inner[3], 0.0, atol=1e-4)
+    assert inner[0].mean() > 0.01
