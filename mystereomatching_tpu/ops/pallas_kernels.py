@@ -71,11 +71,16 @@ def _taps_kernel(vol_ref, an_ref, ap_ref, out_ref, buf, *, max_arm: int,
     vol_ref/out_ref: [C, 1, A, B]; an/ap_ref: [1, A, B] int32;
     buf: [C, 1, A + 2*max_arm, B] scratch padded with the op identity.
     """
+    # Compute in f32 regardless of the storage dtype: Mosaic supports
+    # neither dynamic sublane slices (need 8-aligned starts) nor rotates on
+    # sub-4-byte data, and the kernel is HBM-bound anyway — bf16 in HBM,
+    # f32 in VMEM gets the bandwidth win with full tap flexibility.
     combine, ident_of = _REDUCE_OPS[op]
-    ident = jnp.asarray(ident_of(vol_ref.dtype), vol_ref.dtype)
+    cdt = jnp.float32 if jnp.issubdtype(vol_ref.dtype, jnp.floating) else jnp.int32
+    ident = jnp.asarray(ident_of(cdt), cdt)
     m = max_arm
     a = vol_ref.shape[2]
-    v = vol_ref[:]
+    v = vol_ref[:].astype(cdt)
     buf[:, :, :m, :] = jnp.full_like(buf[:, :, :m, :], ident)
     buf[:, :, m + a:, :] = jnp.full_like(buf[:, :, m + a:, :], ident)
     buf[:, :, m:m + a, :] = v
@@ -92,7 +97,8 @@ def _taps_kernel(vol_ref, an_ref, ap_ref, out_ref, buf, *, max_arm: int,
         acc = combine(acc, jnp.where(an >= k, bwd, fill))
         return acc
 
-    out_ref[:] = jax.lax.fori_loop(1, jnp.minimum(kmax, m) + 1, body, v)
+    res = jax.lax.fori_loop(1, jnp.minimum(kmax, m) + 1, body, v)
+    out_ref[:] = res.astype(out_ref.dtype)
 
 
 def _sublane_pass(vol: jnp.ndarray, an: jnp.ndarray, ap: jnp.ndarray,
@@ -109,13 +115,14 @@ def _sublane_pass(vol: jnp.ndarray, an: jnp.ndarray, ap: jnp.ndarray,
                             lambda bi, t: (bi if ba != 1 else 0, 0, t),
                             memory_space=pltpu.VMEM)
     kern = functools.partial(_taps_kernel, max_arm=max_arm, op=op)
+    sdt = jnp.float32 if jnp.issubdtype(vol.dtype, jnp.floating) else jnp.int32
     return pl.pallas_call(
         kern,
         grid=grid,
         in_specs=[vol_spec, arm_spec, arm_spec],
         out_specs=vol_spec,
         out_shape=jax.ShapeDtypeStruct(vol.shape, vol.dtype),
-        scratch_shapes=[pltpu.VMEM((c, 1, a + 2 * max_arm, bt), vol.dtype)],
+        scratch_shapes=[pltpu.VMEM((c, 1, a + 2 * max_arm, bt), sdt)],
         cost_estimate=pl.CostEstimate(
             flops=vol.size * (4 * max_arm + 1),
             bytes_accessed=vol.size * 8 + an.size * 8,
@@ -202,6 +209,8 @@ def _wta_kernel(vol_ref, out_ref, *, choose_small: bool):
     bandwidth roofline on TPU; min + iota-select + min is 4 VPU ops/elem.
     """
     v = vol_ref[:]
+    if v.dtype.itemsize < 4:        # Mosaic relayout limits on narrow types
+        v = v.astype(jnp.float32)
     d_ = v.shape[0]
     red = jnp.min(v, axis=0) if choose_small else jnp.max(v, axis=0)
     ids = jax.lax.broadcasted_iota(jnp.int32, v.shape, 0)
@@ -259,21 +268,44 @@ def _sgm_kernel(vol_ref, ps_ref, mask_ref, init_ref, out_ref, carry,
         else:
             carry[:] = init_ref[0]      # neighbor band's boundary Lr row
 
-    def row(r, prev):
-        c = vol_ref[0, :, pl.ds(r, 1), :][:, 0, :]          # [D, Wt]
-        ps = ps_ref[0, pl.ds(r, 1), :]                      # [1, Wt]
+    def update(prev, c, ps, m_row):
         min_l = jnp.min(prev, axis=0, keepdims=True)
         up = jnp.concatenate([big_row, prev[:-1]], 0)
         dn = jnp.concatenate([prev[1:], big_row], 0)
         best = jnp.minimum(jnp.minimum(prev, min_l + p2 * ps),
                            jnp.minimum(up, dn) + p1 * ps)
-        l = c + best - min_l
-        if has_mask:
-            l = l * mask_ref[0, pl.ds(r, 1), :]
-        out_ref[0, :, pl.ds(r, 1), :] = l[:, None, :]
+        l = (c + best - min_l).astype(prev.dtype)
+        if m_row is not None:
+            l = l * m_row
         return l
 
-    carry[:] = jax.lax.fori_loop(0, hc, row, carry[:])
+    if vol_ref.dtype.itemsize >= 4:
+        def row(r, prev):
+            c = vol_ref[0, :, pl.ds(r, 1), :][:, 0, :]      # [D, Wt]
+            ps = ps_ref[0, pl.ds(r, 1), :]                  # [1, Wt]
+            m_row = mask_ref[0, pl.ds(r, 1), :] if has_mask else None
+            l = update(prev, c, ps, m_row)
+            out_ref[0, :, pl.ds(r, 1), :] = l[:, None, :]
+            return l
+
+        carry[:] = jax.lax.fori_loop(0, hc, row, carry[:])
+    else:
+        # sub-4-byte dtypes need 8-aligned dynamic sublane starts: read an
+        # aligned 8-row group, recur over static rows, store the group
+        def group(gi, prev):
+            base = pl.multiple_of(gi * 8, 8)
+            cg = vol_ref[0, :, pl.ds(base, 8), :]           # [D, 8, Wt]
+            psg = ps_ref[0, pl.ds(base, 8), :]              # [8, Wt]
+            mg = mask_ref[0, pl.ds(base, 8), :] if has_mask else None
+            outs = []
+            for j in range(8):
+                prev = update(prev, cg[:, j], psg[j][None],
+                              mg[j][None] if has_mask else None)
+                outs.append(prev[:, None])
+            out_ref[0, :, pl.ds(base, 8), :] = jnp.concatenate(outs, 1)
+            return prev
+
+        carry[:] = jax.lax.fori_loop(0, hc // 8, group, carry[:])
 
 
 def sgm_scan_pallas(vol: jnp.ndarray, pscale: jnp.ndarray,

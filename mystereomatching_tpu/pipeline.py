@@ -58,6 +58,11 @@ def compute_volumes(left, right, cfg: MatchConfig):
     for lor in range(n_imgs):
         vol = cost_ops.compute_cost_volume(left, right, gl, gr, cfg, lor,
                                            arms=arms_pair[lor])
+        if cfg.vol_dtype != "float32":
+            # fast mode: bf16 volumes halve the bandwidth of every
+            # aggregation/optimization pass; disparity decisions may flip
+            # on near-ties (~0.4% relative cost error)
+            vol = vol.astype(jnp.dtype(cfg.vol_dtype))
         if cfg.aggregation == "cbca":
             arms_int = arms_ops.intersect_arms(arms_pair[0], arms_pair[1],
                                                cfg.num_disp, lor)

@@ -59,3 +59,18 @@ def test_metrics_counts_invalid_as_errors():
     disp = jnp.full((4, 4), 5.0).at[0, 0].set(-1.0)  # one invalid
     bad, rms = bad_pixel_stats(disp, gt)
     assert abs(float(bad) - 1 / 16) < 1e-6
+
+
+def test_bf16_volume_mode_close_to_f32(small_pair):
+    """vol_dtype='bfloat16' (fast mode): disparity-level agreement with the
+    f32 pipeline on all but near-tie pixels."""
+    import numpy as np
+
+    from mystereomatching_tpu.config import default_config
+    from mystereomatching_tpu.pipeline import StereoPipeline
+
+    cfg32 = default_config(max_disp=small_pair.max_disp)
+    cfg16 = cfg32.replace(vol_dtype="bfloat16")
+    d32 = np.asarray(StereoPipeline(cfg32)(small_pair.left, small_pair.right)["disparity"])
+    d16 = np.asarray(StereoPipeline(cfg16)(small_pair.left, small_pair.right)["disparity"])
+    assert np.mean(d16 != d32) < 0.02
