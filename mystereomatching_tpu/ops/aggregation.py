@@ -53,7 +53,8 @@ def cbca(
             (jnp.minimum(an, max_arm) + jnp.minimum(ap, max_arm) + 1
              ).astype(vol.dtype), vol.shape)
 
-    if pk.tpu_backend():
+    if pk.tpu_backend() and pk.sublane_pass_fits(
+            2, max(vol.shape[1], vol.shape[2]), max_arm):
         swap = lambda x: jnp.swapaxes(x, -1, -2)
         armLT, armRT = swap(armL), swap(armR)            # [D, W, H]
         for it in range(iterations):

@@ -110,14 +110,18 @@ def intersect_arms(
         ok = (u + d) < w
     # D static rolls instead of a lane gather (TPU: gathers along the lane
     # axis are ~10x slower than static shifts); wraps are masked by `ok`.
-    # int16 output: arm lengths are tiny, and this tensor is the biggest
-    # CBCA operand (4*D*H*W) — halving it halves the kernels' arm traffic.
-    ref = ref.astype(jnp.int16)
-    oth = oth.astype(jnp.int16)
-    sh = jnp.stack([jnp.roll(oth, shift * dd, axis=-1)
-                    for dd in range(num_disp)], axis=1)  # [4, D, H, W]
-    out = jnp.minimum(ref[:, None], sh)
-    return jnp.where(ok[None, :, None, :], out, jnp.int16(0))
+    # Narrow storage: this tensor is the biggest CBCA operand (4*D*H*W) —
+    # int8, with arms clamped to 127 (l_out <= 127 in any sane config; the
+    # full-res D=256 configuration needs the 4x shrink to fit HBM). Each
+    # disparity slice is masked and narrowed BEFORE stacking so no int32
+    # [4,D,H,W] intermediate ever materializes.
+    ref8 = jnp.minimum(ref, 127).astype(jnp.int8)
+    oth8 = jnp.minimum(oth, 127).astype(jnp.int8)
+    slices = []
+    for dd in range(num_disp):
+        m = jnp.minimum(ref8, jnp.roll(oth8, shift * dd, axis=-1))
+        slices.append(jnp.where(ok[dd][None, None, :], m, jnp.int8(0)))
+    return jnp.stack(slices, axis=1)                     # [4, D, H, W] int8
 
 
 def arm_bounded_sum(vol: jnp.ndarray, arm_neg: jnp.ndarray, arm_pos: jnp.ndarray,
@@ -184,6 +188,8 @@ def _try_pallas(vol, arm_neg, arm_pos, axis, max_arm, op="sum"):
     an = arm_neg.reshape((ba,) + arm_neg.shape[-2:])
     ap = arm_pos.reshape((ba,) + arm_pos.shape[-2:])
     kaxis = 2 if axis == nd - 2 else 3
+    if not pk.sublane_pass_fits(v4.shape[0], v4.shape[kaxis], max_arm):
+        return None                      # plane too large for VMEM: XLA taps
     out = pk.arm_bounded_sum_pallas(v4, an, ap, kaxis, max_arm, op=op)
     return out[0] if nd == 3 else out
 

@@ -101,6 +101,12 @@ def _taps_kernel(vol_ref, an_ref, ap_ref, out_ref, buf, *, max_arm: int,
     out_ref[:] = res.astype(out_ref.dtype)
 
 
+def sublane_pass_fits(c: int, a: int, max_arm: int) -> bool:
+    """Whether the arm-taps kernel's full-axis block (+f32 scratch/temps)
+    fits scoped VMEM. Beyond this, callers use the XLA taps fallback."""
+    return c * (a + 2 * max_arm) <= 3200
+
+
 def _sublane_pass(vol: jnp.ndarray, an: jnp.ndarray, ap: jnp.ndarray,
                   max_arm: int, interpret: bool = False,
                   op: str = "sum") -> jnp.ndarray:
@@ -328,10 +334,13 @@ def sgm_scan_pallas(vol: jnp.ndarray, pscale: jnp.ndarray,
     # 128-lane tiles). Cap by VMEM: vol+out blocks, double-buffered, ~10MB;
     # for large D the width shrinks before the row chunk drops below 8.
     budget = 10 * 1024 * 1024
+    # per-(d,wt,hc) bytes: f32 fori path keeps ~4 blocks live; the sub-4-byte
+    # unrolled-group path additionally hoards ~8 rows of f32 temporaries
+    unit = 16 if vol.dtype.itemsize >= 4 else 48
     wt = min(_cdiv(w, 128) * 128, 1280)
-    while wt > 128 and 16 * d_ * wt * 8 > budget:
+    while wt > 128 and unit * d_ * wt * 8 > budget:
         wt -= 128
-    hc = max(8, min(h, budget // (16 * d_ * wt) // 8 * 8))
+    hc = max(8, min(h, budget // (unit * d_ * wt) // 8 * 8))
     grid = (g, _cdiv(w, wt), _cdiv(h, hc))
     vol_spec = pl.BlockSpec((1, d_, hc, wt), lambda gi, wi, hi: (gi, 0, hi, wi),
                             memory_space=pltpu.VMEM)

@@ -99,3 +99,29 @@ def wta_co(
         bad = uniqueness_mask(vol_l, disp_l, uniqueness_ratio)
         left_scaled = jnp.where(bad, disp_inv, left_scaled)
     return left_scaled, disp_r * disp_scale
+
+
+def wta_pair_cooperative(vol_left: jnp.ndarray,
+                         choose_small: bool = True) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(d_left, d_right) integer maps from ONE left-reference volume — the
+    reference's cooperative WTA (wta_Co cpp:2709-2792) without the
+    DISP_SCALE encoding: d_R(u) = argext_d vmL[d, v, u+d] (reindex via
+    static rolls, qx_stereo_flip_corr_vol semantics), d_L masked to d <= u.
+
+    Halves HBM for LRC pipelines at large D x H x W (no right volume)."""
+    from mystereomatching_tpu.ops.volume import flip_volume_lr
+
+    d_, h, w = vol_left.shape
+    bad = jnp.asarray(jnp.finfo(jnp.float32).max
+                      if choose_small else -jnp.finfo(jnp.float32).max,
+                      vol_left.dtype)
+    u = jnp.arange(w, dtype=jnp.int32)[None, :]
+    d = jnp.arange(d_, dtype=jnp.int32)[:, None]
+
+    vol_r = flip_volume_lr(vol_left)
+    vol_r = jnp.where(((u + d) < w)[:, None, :], vol_r, bad)
+    disp_r = wta(vol_r, choose_small)
+
+    vol_l = jnp.where(((u - d) >= 0)[:, None, :], vol_left, bad)
+    disp_l = wta(vol_l, choose_small)
+    return disp_l, disp_r

@@ -111,8 +111,17 @@ def optimize(vols, left, right, cfg: MatchConfig):
         dr = (vmtop_ops.disp_from_top(vols[1], right, cfg, cfg.vmtop_method)
               if 1 in vols else None)
         return dl, dr, vols[0]
-    dl = wta_ops.wta(vols[0], cfg.choose_small)
-    dr = wta_ops.wta(vols[1], cfg.choose_small) if 1 in vols else None
+    if 1 in vols:
+        dl = wta_ops.wta(vols[0], cfg.choose_small)
+        dr = wta_ops.wta(vols[1], cfg.choose_small)
+    elif cfg.do_refine and cfg.do_lr_consis:
+        # cooperative WTA (wta_Co cpp:2709-2792): derive the right map by
+        # reindexing the LEFT volume — no right volume needed (halves HBM
+        # for the full-res D=256 configuration)
+        dl, dr = wta_ops.wta_pair_cooperative(vols[0], cfg.choose_small)
+    else:
+        dl = wta_ops.wta(vols[0], cfg.choose_small)
+        dr = None
     return dl, dr, vols[0]
 
 

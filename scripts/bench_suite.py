@@ -28,6 +28,11 @@ CONFIGS = [
     ("sgm8_full", {}, 750, 1000, 127, "middlebury half-res D=128"),
     ("nl_tree_filter", {}, 375, 450, 59, "teddy-scale D=60"),
     ("fullres_occfill", {}, 1000, 1400, 191, "2014 large-scale D=192"),
+    ("fullres_occfill",
+     {"vol_dtype": "bfloat16", "compute_both_volumes": False},
+     1280, 1500, 255,
+     "D=256 large-scale (bf16 volumes, cooperative WTA; largest plane the"
+     " VMEM-resident arm kernel handles without windowed DMA)"),
 ]
 
 ITERS = 3

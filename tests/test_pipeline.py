@@ -74,3 +74,24 @@ def test_bf16_volume_mode_close_to_f32(small_pair):
     d32 = np.asarray(StereoPipeline(cfg32)(small_pair.left, small_pair.right)["disparity"])
     d16 = np.asarray(StereoPipeline(cfg16)(small_pair.left, small_pair.right)["disparity"])
     assert np.mean(d16 != d32) < 0.02
+
+
+def test_cooperative_wta_single_volume_lrc(small_pair):
+    """compute_both_volumes=False + LRC: the right map comes from the left
+    volume (wta_Co cpp:2709-2792); quality stays close to the 2-volume
+    pipeline."""
+    import numpy as np
+
+    from mystereomatching_tpu.config import default_config
+    from mystereomatching_tpu.pipeline import StereoPipeline
+
+    cfg2 = default_config(max_disp=small_pair.max_disp)
+    cfg1 = cfg2.replace(compute_both_volumes=False)
+    d2 = np.asarray(StereoPipeline(cfg2)(small_pair.left, small_pair.right)["disparity"])
+    d1 = np.asarray(StereoPipeline(cfg1)(small_pair.left, small_pair.right)["disparity"])
+    gt, m = small_pair.gt, (small_pair.gt > 0) & small_pair.masks["nonocc"]
+
+    def bad(d):
+        return (((np.abs(d - gt) > 1) | (d < 0)) & m).sum() / m.sum()
+
+    assert bad(d1) < bad(d2) + 0.03
