@@ -155,6 +155,7 @@ def _jump_to_root(parent: jnp.ndarray) -> jnp.ndarray:
 
 # slot order: 0=right, 1=down, 2=left, 3=up (cyclic for the Euler tour)
 _REV_SLOT = (2, 3, 0, 1)
+_SLOT_OFF = ((0, 1), (1, 0), (0, -1), (-1, 0))   # (dv, du) per slot
 
 
 def _slot_masks(in_mst: jnp.ndarray, h: int, w: int):
@@ -175,33 +176,32 @@ def root_tree(in_mst: jnp.ndarray, wr: jnp.ndarray, wd: jnp.ndarray) -> RootedTr
     slots = _slot_masks(in_mst, h, w)                 # [4,H,W]
     present = slots.reshape(4, n)                     # per-node slot presence
 
-    # directed edge id = node*4 + slot (for present slots)
-    # successor of (u -> v) through slot s: v's next present slot after
-    # reverse slot r (cyclic r+1, r+2, r+3, r — tour of a tree visits all)
-    # target node per slot
-    tgt = jnp.stack([
-        jnp.arange(n, dtype=jnp.int32) + 1,          # right
-        jnp.arange(n, dtype=jnp.int32) + w,          # down
-        jnp.arange(n, dtype=jnp.int32) - 1,          # left
-        jnp.arange(n, dtype=jnp.int32) - w,          # up
-    ], 1)                                             # [N,4]
-    tgt = jnp.clip(tgt, 0, n - 1)
-
+    # directed edge id = node*4 + slot (for present slots). Neighbor lookups
+    # are GRID-STRUCTURED: value-at-neighbor = a 2-D shift of the plane, not
+    # a gather (TPU gathers on [N] arrays run at ~GB/s).
+    ids2 = jnp.arange(n, dtype=jnp.int32).reshape(h, w)
     pres_t = present.T                                # [N,4]
     de = 4 * n
 
-    # successor for every potential directed edge (u, s): arrive at v=tgt,
+    def shift2(x, dv, du, fill):
+        pv0, pv1 = max(0, -dv), max(0, dv)
+        pu0, pu1 = max(0, -du), max(0, du)
+        p = jnp.pad(x, ((pv0, pv1), (pu0, pu1)), constant_values=fill)
+        return p[pv0 + dv: pv0 + dv + h, pu0 + du: pu0 + du + w]
+
+    # successor for every potential directed edge (u, s): arrive at v,
     # continue through v's next present slot after _REV_SLOT[s]
-    succ = jnp.zeros((n, 4), jnp.int32)
-    for s in range(4):
-        v = tgt[:, s]
+    succ = []
+    for s, (dv, du) in enumerate(_SLOT_OFF):
         r = _REV_SLOT[s]
-        nxt = jnp.full((n,), -1, jnp.int32)
+        vid = shift2(ids2, dv, du, 0)                 # neighbor node id
+        nxt = jnp.full((h, w), -1, jnp.int32)
         for k in (4, 3, 2, 1):                        # reverse priority: k=1 wins
             cand = (r + k) % 4
-            nxt = jnp.where(pres_t[v, cand], v * 4 + cand, nxt)
-        succ = succ.at[:, s].set(nxt)
-    succ = succ.reshape(de)                           # [4N]
+            pres_vc = shift2(slots[cand], dv, du, False)
+            nxt = jnp.where(pres_vc, vid * 4 + cand, nxt)
+        succ.append(nxt.reshape(-1))
+    succ = jnp.stack(succ, 1).reshape(de)             # [4N]
 
     # start edge: node 0's first present slot
     slot0 = jnp.argmax(pres_t[0], axis=0).astype(jnp.int32)
@@ -231,11 +231,13 @@ def root_tree(in_mst: jnp.ndarray, wr: jnp.ndarray, wd: jnp.ndarray) -> RootedTr
 
     parent = jnp.arange(n, dtype=jnp.int32)
     weight = jnp.zeros((n,), jnp.int32)
-    for s in range(4):
-        t = tgt[:, s]
+    big = jnp.int32(1 << 30)
+    for s, (dv, du) in enumerate(_SLOT_OFF):
         r = _REV_SLOT[s]
         out_rank = rank_nv[:, s]                      # rank(v -> t)
-        in_rank = rank_nv[t, r]                       # rank(t -> v)
+        # rank(t -> v): slot-r rank plane shifted to the neighbor
+        in_rank = shift2(rank_nv[:, r].reshape(h, w), dv, du, big).reshape(-1)
+        t = shift2(ids2, dv, du, 0).reshape(-1)
         is_parent = pres_t[:, s] & (in_rank < out_rank)
         parent = jnp.where(is_parent, t, parent)
         weight = jnp.where(is_parent, wslot[:, s], weight)
