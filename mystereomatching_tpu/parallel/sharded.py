@@ -25,7 +25,10 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+try:                                     # jax >= 0.8
+    from jax import shard_map
+except ImportError:                      # older jax
+    from jax.experimental.shard_map import shard_map
 
 from mystereomatching_tpu.config import MatchConfig
 from mystereomatching_tpu.ops import arms as arms_ops
