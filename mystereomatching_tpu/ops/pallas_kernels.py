@@ -252,8 +252,9 @@ def wta_pallas(vol: jnp.ndarray, choose_small: bool = True,
 
 
 def _sgm_kernel(vol_ref, ps_ref, mask_ref, init_ref, out_ref, carry,
-                *, p1: float, p2: float, has_mask: bool):
-    """Top-down SGM scan over one [1, D, Hc, Wt] block.
+                *, p1: float, p2: float, has_mask: bool,
+                reverse: bool = False, h_total: int = 0):
+    """SGM scan over one [1, D, Hc, Wt] block, top-down or bottom-up.
 
     Recurrence per row (updateCost h:2268-2274, matching ops/sgm._scan_down
     bit for bit):
@@ -262,10 +263,16 @@ def _sgm_kernel(vol_ref, ps_ref, mask_ref, init_ref, out_ref, carry,
     carry: [D, Wt] scratch holding the previous row's L, persisted across
     H-chunk grid steps (TPU grid steps run sequentially on the core);
     reset to the zero scan-edge state at each band's first chunk.
+
+    ``reverse`` scans bottom-up directly (callers pass chunks in reversed
+    grid order via the index map) — no flipped input/output copies. Rows
+    at global index >= h_total (the padded tail of the last block, which a
+    reverse scan meets FIRST) neither update the carry nor store.
     """
     d_, hc, wt = vol_ref.shape[1:]
     big = jnp.asarray(jnp.finfo(vol_ref.dtype).max, vol_ref.dtype)
     big_row = jnp.full((1, wt), big, vol_ref.dtype)
+    n_chunks = pl.num_programs(2)
 
     @pl.when(pl.program_id(2) == 0)
     def _():
@@ -273,6 +280,12 @@ def _sgm_kernel(vol_ref, ps_ref, mask_ref, init_ref, out_ref, carry,
             carry[:] = jnp.zeros_like(carry)
         else:
             carry[:] = init_ref[0]      # neighbor band's boundary Lr row
+
+    if reverse:
+        # this block's first row index within the full (padded) array
+        block0 = (n_chunks - 1 - pl.program_id(2)) * hc
+    else:
+        block0 = pl.program_id(2) * hc
 
     def update(prev, c, ps, m_row):
         min_l = jnp.min(prev, axis=0, keepdims=True)
@@ -285,29 +298,40 @@ def _sgm_kernel(vol_ref, ps_ref, mask_ref, init_ref, out_ref, carry,
             l = l * m_row
         return l
 
-    if vol_ref.dtype.itemsize >= 4:
-        def row(r, prev):
-            c = vol_ref[0, :, pl.ds(r, 1), :][:, 0, :]      # [D, Wt]
-            ps = ps_ref[0, pl.ds(r, 1), :]                  # [1, Wt]
-            m_row = mask_ref[0, pl.ds(r, 1), :] if has_mask else None
-            l = update(prev, c, ps, m_row)
-            out_ref[0, :, pl.ds(r, 1), :] = l[:, None, :]
-            return l
+    def step_rows(rs, prev):
+        r = (hc - 1 - rs) if reverse else rs
+        c = vol_ref[0, :, pl.ds(r, 1), :][:, 0, :]      # [D, Wt]
+        ps = ps_ref[0, pl.ds(r, 1), :]                  # [1, Wt]
+        m_row = mask_ref[0, pl.ds(r, 1), :] if has_mask else None
+        l = update(prev, c, ps, m_row)
+        if reverse:
+            # padded tail rows are scan-inert (carry unchanged, no store)
+            valid = (block0 + r) < h_total
+            l = jnp.where(valid, l, prev)
+        out_ref[0, :, pl.ds(r, 1), :] = l[:, None, :]
+        return l
 
-        carry[:] = jax.lax.fori_loop(0, hc, row, carry[:])
+    if vol_ref.dtype.itemsize >= 4:
+        carry[:] = jax.lax.fori_loop(0, hc, step_rows, carry[:])
     else:
         # sub-4-byte dtypes need 8-aligned dynamic sublane starts: read an
         # aligned 8-row group, recur over static rows, store the group
-        def group(gi, prev):
+        def group(gs, prev):
+            gi = (hc // 8 - 1 - gs) if reverse else gs
             base = pl.multiple_of(gi * 8, 8)
             cg = vol_ref[0, :, pl.ds(base, 8), :]           # [D, 8, Wt]
             psg = ps_ref[0, pl.ds(base, 8), :]              # [8, Wt]
             mg = mask_ref[0, pl.ds(base, 8), :] if has_mask else None
-            outs = []
-            for j in range(8):
-                prev = update(prev, cg[:, j], psg[j][None],
-                              mg[j][None] if has_mask else None)
-                outs.append(prev[:, None])
+            outs = [None] * 8
+            order = range(7, -1, -1) if reverse else range(8)
+            for j in order:
+                l = update(prev, cg[:, j], psg[j][None],
+                           mg[j][None] if has_mask else None)
+                if reverse:
+                    valid = (block0 + base + j) < h_total
+                    l = jnp.where(valid, l, prev)
+                prev = l
+                outs[j] = l[:, None]
             out_ref[0, :, pl.ds(base, 8), :] = jnp.concatenate(outs, 1)
             return prev
 
@@ -316,11 +340,12 @@ def _sgm_kernel(vol_ref, ps_ref, mask_ref, init_ref, out_ref, carry,
 
 def sgm_scan_pallas(vol: jnp.ndarray, pscale: jnp.ndarray,
                     mask=None, p1: float = 1.0, p2: float = 3.0,
-                    init=None, interpret: bool = False) -> jnp.ndarray:
-    """Batched top-down SGM path-cost scan.
+                    init=None, reverse: bool = False,
+                    interpret: bool = False) -> jnp.ndarray:
+    """Batched SGM path-cost scan, top-down (default) or bottom-up.
 
-    vol: [G, D, H, W] cost volumes already oriented so the scan runs
-    top->bottom (callers pre-flip/transpose/skew per direction);
+    vol: [G, D, H, W] cost volumes (callers pre-transpose/skew per
+    orientation; ``reverse=True`` scans bottom-up in place of flipping);
     pscale: [G, H, W] per-pixel P1/P2 multiplier; mask: optional [G, H, W]
     in-image mask (skewed diagonal buffers). Returns [G, D, H, W] L_r.
 
@@ -341,10 +366,14 @@ def sgm_scan_pallas(vol: jnp.ndarray, pscale: jnp.ndarray,
     while wt > 128 and unit * d_ * wt * 8 > budget:
         wt -= 128
     hc = max(8, min(h, budget // (unit * d_ * wt) // 8 * 8))
-    grid = (g, _cdiv(w, wt), _cdiv(h, hc))
-    vol_spec = pl.BlockSpec((1, d_, hc, wt), lambda gi, wi, hi: (gi, 0, hi, wi),
+    nh = _cdiv(h, hc)
+    grid = (g, _cdiv(w, wt), nh)
+    hix = (lambda hi: nh - 1 - hi) if reverse else (lambda hi: hi)
+    vol_spec = pl.BlockSpec((1, d_, hc, wt),
+                            lambda gi, wi, hi: (gi, 0, hix(hi), wi),
                             memory_space=pltpu.VMEM)
-    img_spec = pl.BlockSpec((1, hc, wt), lambda gi, wi, hi: (gi, hi, wi),
+    img_spec = pl.BlockSpec((1, hc, wt),
+                            lambda gi, wi, hi: (gi, hix(hi), wi),
                             memory_space=pltpu.VMEM)
     init_spec = pl.BlockSpec((1, d_, wt), lambda gi, wi, hi: (gi, 0, wi),
                              memory_space=pltpu.VMEM)
@@ -363,7 +392,8 @@ def sgm_scan_pallas(vol: jnp.ndarray, pscale: jnp.ndarray,
         init_ref = next(it) if has_init else None
         out_ref, carry = it
         _sgm_kernel(vol_ref, ps_ref, mask_ref, init_ref, out_ref, carry,
-                    p1=p1, p2=p2, has_mask=has_mask)
+                    p1=p1, p2=p2, has_mask=has_mask, reverse=reverse,
+                    h_total=h)
 
     return pl.pallas_call(
         kern,

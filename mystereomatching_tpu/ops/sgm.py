@@ -209,6 +209,46 @@ def sgm_directions(vol_list, img_list, dirs, p1: float = 1.0,
     use_pallas = pk.tpu_backend()
     n = len(vol_list)
     out = [jnp.zeros_like(v) for v in vol_list]
+
+    if use_pallas:
+        # Group by (orientation, scan direction): reverse-capable kernels
+        # scan bottom-up in place, so no flipped input/output copies ever
+        # materialize (for diagonals the flip folds into the skew sign:
+        # skew(flip(x), s) == flip(skew(x, -s))).
+        groups = {}
+        for i in range(n):
+            vol, image = vol_list[i], img_list[i]
+            for rv, ru in dirs:
+                p = penalty_scale(image, rv, ru, cor_dif_thres, redu_coeff)
+                if ru == 0:
+                    groups.setdefault(("v", rv > 0), []).append(
+                        (i, vol, p, None, None))
+                elif rv == 0:
+                    groups.setdefault(("h", ru > 0), []).append(
+                        (i, jnp.swapaxes(vol, 1, 2), jnp.swapaxes(p, 0, 1),
+                         None, None))
+                else:
+                    sign = 1 if ru > 0 else -1
+                    s2 = -sign if rv > 0 else sign
+                    vS, ok = _skew(vol, s2, 0.0)
+                    pS, _ = _skew(p, s2, 1.0)
+                    groups.setdefault(("d", rv > 0), []).append(
+                        (i, vS, pS, ok, s2))
+        for (kind, rev), items in groups.items():
+            volS = jnp.stack([it[1] for it in items])
+            psS = jnp.stack([it[2] for it in items])
+            maskS = (jnp.stack([it[3] for it in items])
+                     if items[0][3] is not None else None)
+            res = pk.sgm_scan_pallas(volS, psS, maskS, p1, p2, reverse=rev)
+            for j, (i, *_mid, s2) in enumerate(items):
+                r = res[j]
+                if kind == "h":
+                    r = jnp.swapaxes(r, 1, 2)
+                elif kind == "d":
+                    r = _unskew(r, s2, vol_list[i].shape[-1])
+                out[i] = out[i] + r
+        return out
+
     groups = {"v": [], "h": [], "d": []}
     for i in range(n):
         vol, image = vol_list[i], img_list[i]
@@ -235,9 +275,7 @@ def sgm_directions(vol_list, img_list, dirs, p1: float = 1.0,
         psS = jnp.stack([it[4] for it in items])
         maskS = (jnp.stack([it[5] for it in items])
                  if items[0][5] is not None else None)
-        if use_pallas:
-            res = pk.sgm_scan_pallas(volS, psS, maskS, p1, p2)
-        elif maskS is None:
+        if maskS is None:
             res = jax.vmap(lambda v, p: _scan_down(v, p, p1, p2))(volS, psS)
         else:
             res = jax.vmap(lambda v, p, m: _scan_down(v, p, p1, p2,

@@ -129,3 +129,19 @@ def test_sgm_scan_pallas_init_carry(rng):
 
     want = np.asarray(S._scan_down(vol[0], ps[0], 1.0, 3.0))
     np.testing.assert_allclose(np.asarray(full[0]), want, rtol=1e-6)
+
+
+def test_sgm_scan_pallas_reverse(rng):
+    """Bottom-up scan == flipped top-down scan (incl. padded-tail rows)."""
+    import jax.numpy as jnp
+
+    from mystereomatching_tpu.ops.pallas_kernels import sgm_scan_pallas
+
+    d_, h, w = 5, 21, 16    # h NOT a multiple of the chunk: tail exercised
+    vol = jnp.asarray(rng.random((2, d_, h, w)), jnp.float32)
+    ps = jnp.asarray(rng.random((2, h, w)), jnp.float32)
+
+    want = sgm_scan_pallas(vol[:, :, ::-1], ps[:, ::-1],
+                           interpret=True)[:, :, ::-1]
+    got = sgm_scan_pallas(vol, ps, reverse=True, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-6)
