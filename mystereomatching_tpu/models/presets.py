@@ -65,9 +65,15 @@ def _baseline3(max_disp: int = 59, **kw) -> MatchConfig:
 
 @register("nl_tree_filter")
 def _baseline4(max_disp: int = 59, **kw) -> MatchConfig:
-    """BASELINE.json config 4: NL MST tree-filter aggregation pipeline."""
+    """BASELINE.json config 4: NL MST tree-filter aggregation pipeline.
+
+    Single-volume like the reference's NL path: occlusions come from
+    left/right maps of the SAME volume (qx_detect_occlusion_left_right,
+    NL/qx_basic.cpp:603; cooperative WTA here) — one tree build instead
+    of two."""
     base = dict(cost="ad_grad", aggregation="nl", optimization="wta",
-                do_refine=True, do_lr_consis=True)
+                do_refine=True, do_lr_consis=True,
+                compute_both_volumes=False)
     base.update(kw)
     return MatchConfig(max_disp=max_disp, **base).validate()
 
