@@ -194,6 +194,9 @@ class MatchConfig:
     # --- numerics / TPU -----------------------------------------------------
     vol_dtype: str = "float32"         # cost volume dtype
     compute_both_volumes: bool = True  # build left+right volumes (LRC needs both)
+    d_stream_block: int = 0            # >0: build cost+CBCA in disparity
+                                       # blocks of this size (bounds HBM for
+                                       # full-res D=256; must divide num_disp)
 
     @property
     def num_disp(self) -> int:
@@ -223,6 +226,10 @@ class MatchConfig:
             raise ValueError(f"unknown optimization {self.optimization!r}; one of {OPT_METHODS}")
         if self.max_disp < 1:
             raise ValueError("max_disp must be >= 1")
+        if self.d_stream_block and self.num_disp % self.d_stream_block:
+            raise ValueError(
+                f"d_stream_block={self.d_stream_block} must divide "
+                f"num_disp={self.num_disp}")
         return self
 
 

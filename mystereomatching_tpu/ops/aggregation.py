@@ -53,20 +53,19 @@ def cbca(
             (jnp.minimum(an, max_arm) + jnp.minimum(ap, max_arm) + 1
              ).astype(vol.dtype), vol.shape)
 
-    if pk.tpu_backend() and pk.sublane_pass_fits(
-            2, max(vol.shape[1], vol.shape[2]), max_arm):
+    if pk.tpu_backend():
         swap = lambda x: jnp.swapaxes(x, -1, -2)
         armLT, armRT = swap(armL), swap(armR)            # [D, W, H]
         for it in range(iterations):
             if it % 2 == 0:                              # H-dir pass, then V
-                volT = pk._sublane_pass(swap(vol)[None], armLT, armRT,
-                                        max_arm)[0]
+                volT = pk.sublane_pass_auto(swap(vol)[None], armLT, armRT,
+                                            max_arm)[0]
                 stacked = jnp.stack([swap(volT), area_of(armL, armR)])
-                stacked = pk._sublane_pass(stacked, armU, armD, max_arm)
+                stacked = pk.sublane_pass_auto(stacked, armU, armD, max_arm)
                 vol = stacked[0] / jnp.maximum(stacked[1], 1.0)
             else:                                        # V-dir pass, then H
-                v1 = pk._sublane_pass(vol[None], armU, armD, max_arm)[0]
-                stackedT = pk._sublane_pass(
+                v1 = pk.sublane_pass_auto(vol[None], armU, armD, max_arm)[0]
+                stackedT = pk.sublane_pass_auto(
                     swap(jnp.stack([v1, area_of(armU, armD)])),
                     armLT, armRT, max_arm)
                 vol = swap(stackedT[0] / jnp.maximum(stackedT[1], 1.0))

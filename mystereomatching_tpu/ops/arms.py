@@ -124,6 +124,35 @@ def intersect_arms(
     return jnp.stack(slices, axis=1)                     # [4, D, H, W] int8
 
 
+def intersect_arms_block(
+    arms_l: jnp.ndarray, arms_r: jnp.ndarray, ds: jnp.ndarray, lor: int
+) -> jnp.ndarray:
+    """Per-disparity arm intersection for a traced disparity subset.
+
+    D-streaming form of :func:`intersect_arms` (genTrueHorVerArms,
+    cpp:2794-2845): ds is a traced int32 [Db]; the per-d shift becomes one
+    [Db, W]-indexed gather (cheap relative to the aggregation taps it
+    feeds). Returns [4, Db, H, W] int8.
+    """
+    w = arms_l.shape[-1]
+    u = jnp.arange(w, dtype=jnp.int32)[None, :]
+    dd = ds.astype(jnp.int32)[:, None]
+    if lor == 0:
+        ref, oth = arms_l, arms_r
+        idx = u - dd
+        ok = idx >= 0
+    else:
+        ref, oth = arms_r, arms_l
+        idx = u + dd
+        ok = idx < w
+    ref8 = jnp.minimum(ref, 127).astype(jnp.int8)
+    oth8 = jnp.minimum(oth, 127).astype(jnp.int8)
+    sh = jnp.take(oth8, jnp.clip(idx, 0, w - 1), axis=-1)   # [4, H, Db, W]
+    sh = jnp.moveaxis(sh, -2, 1)                            # [4, Db, H, W]
+    m = jnp.minimum(ref8[:, None], sh)
+    return jnp.where(ok[None, :, None, :], m, jnp.int8(0))
+
+
 def arm_bounded_sum(vol: jnp.ndarray, arm_neg: jnp.ndarray, arm_pos: jnp.ndarray,
                     axis: int, max_arm: int = 34) -> jnp.ndarray:
     """Sum of ``vol`` over [x - arm_neg, x + arm_pos] along ``axis``.
@@ -188,8 +217,6 @@ def _try_pallas(vol, arm_neg, arm_pos, axis, max_arm, op="sum"):
     an = arm_neg.reshape((ba,) + arm_neg.shape[-2:])
     ap = arm_pos.reshape((ba,) + arm_pos.shape[-2:])
     kaxis = 2 if axis == nd - 2 else 3
-    if not pk.sublane_pass_fits(v4.shape[0], v4.shape[kaxis], max_arm):
-        return None                      # plane too large for VMEM: XLA taps
     out = pk.arm_bounded_sum_pallas(v4, an, ap, kaxis, max_arm, op=op)
     return out[0] if nd == 3 else out
 

@@ -141,6 +141,7 @@ def hamming_volume(
     code_length: int,
     trunc_ratio: float = 1.0,
     normalize: bool = False,
+    disps: jnp.ndarray = None,
 ) -> jnp.ndarray:
     """Census cost volume via XOR + popcount (gen_cenVM_XOR, h:936-981).
 
@@ -150,7 +151,7 @@ def hamming_volume(
     1.0 if normalized).
     """
     ref, other = (code_left, code_right) if lor == 0 else (code_right, code_left)
-    sh = shifted_stack(other, num_disp, lor)            # [D, n_words, H, W]
+    sh = shifted_stack(other, num_disp, lor, disps)     # [D, n_words, H, W]
     x = ref[None] ^ sh
     ham = jnp.sum(lax.population_count(x), axis=1).astype(jnp.float32)
     default = code_length * trunc_ratio
@@ -160,7 +161,7 @@ def hamming_volume(
         fill = 1.0
     else:
         fill = default
-    mask = valid_mask(code_left.shape[-1], num_disp, lor)
+    mask = valid_mask(code_left.shape[-1], num_disp, lor, disps)
     return jnp.where(mask, cost, jnp.asarray(fill, cost.dtype))
 
 

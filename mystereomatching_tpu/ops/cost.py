@@ -29,7 +29,7 @@ from mystereomatching_tpu.ops import arms as arms_ops
 
 def ad_volume(left: jnp.ndarray, right: jnp.ndarray, num_disp: int, lor: int,
               trunc: float = 1e9, squared: bool = False,
-              normalize: bool = False) -> jnp.ndarray:
+              normalize: bool = False, disps=None) -> jnp.ndarray:
     """Mean over channels of |dI| (or dI^2), truncated (cpp:2468-2509).
 
     left/right: [H, W, C]. DEFAULT for invalid entries = trunc (or 1 when
@@ -45,9 +45,9 @@ def ad_volume(left: jnp.ndarray, right: jnp.ndarray, num_disp: int, lor: int,
         return jnp.minimum(jnp.mean(d, axis=1), trunc)    # mean over C
 
     default = 1.0 if normalize else trunc
-    vol = pointwise_volume(cost, lc, rc, num_disp, lor, default)
+    vol = pointwise_volume(cost, lc, rc, num_disp, lor, default, disps)
     if normalize:
-        valid = valid_mask(left.shape[1], num_disp, lor)
+        valid = valid_mask(left.shape[1], num_disp, lor, disps)
         vol = jnp.where(valid, vol / trunc, 1.0)
     return vol
 
@@ -94,6 +94,7 @@ def grad_volume(
     adaptive_weight: bool = True,
     arms: Optional[jnp.ndarray] = None,
     normalize: bool = False,
+    disps=None,
 ) -> jnp.ndarray:
     """Gradient cost volume (grad() cpp:603-657 + calgradvm 388-466).
 
@@ -116,13 +117,13 @@ def grad_volume(
 
     def build(pair):
         ref, oth = (pair[0], pair[1]) if lor == 0 else (pair[1], pair[0])
-        sh = shifted_stack(oth, num_disp, lor)
+        sh = shifted_stack(oth, num_disp, lor, disps)
         return jnp.minimum(jnp.abs(ref[None] - sh), trunc)
 
     cx = build(gx)
     if not use_2dir:
         default = 1.0 if normalize else trunc
-        valid = valid_mask(gray_l.shape[-1], num_disp, lor)
+        valid = valid_mask(gray_l.shape[-1], num_disp, lor, disps)
         out = cx / trunc if normalize else cx
         return jnp.where(valid, out, default)
 
@@ -134,7 +135,7 @@ def grad_volume(
     import math
 
     default = math.sqrt(2.0 * trunc * trunc)
-    valid = valid_mask(gray_l.shape[-1], num_disp, lor)
+    valid = valid_mask(gray_l.shape[-1], num_disp, lor, disps)
     return jnp.where(valid, vol, default)
 
 
@@ -390,6 +391,81 @@ def compute_cost_volume(
         zvm = zncc_volume(gray_l, gray_r, d, lor, cfg.zncc_win_rv, cfg.zncc_win_ru)
         return exp_fuse3(census_vm(), zvm, advm, cfg.lam_cen, 1.0, 10.0)
     raise ValueError(f"unknown cost method {method!r}")
+
+
+def block_cost_builder(
+    left: jnp.ndarray,
+    right: jnp.ndarray,
+    gray_l: jnp.ndarray,
+    gray_r: jnp.ndarray,
+    cfg: MatchConfig,
+    lor: int,
+    arms: Optional[jnp.ndarray] = None,
+):
+    """D-streaming form of :func:`compute_cost_volume` for full-res configs.
+
+    Returns ``block(ds) -> [Db, H, W]`` building the cost for a traced
+    contiguous disparity subset ``ds`` (int32 [Db]). Per-image work that
+    does not depend on the disparity (census code transforms) is hoisted
+    here so a ``lax.fori_loop`` over blocks doesn't recompute it.
+    """
+    d = cfg.num_disp
+    method = cfg.cost
+
+    census_pre = None
+    if "census" in method:
+        rv_, ru_ = cfg.census_rv, cfg.census_ru
+        win = (2 * rv_ + 1) * (2 * ru_ + 1)
+        code_fn, n_bits = {
+            0: (lambda g: census_ops.census_code_classic(g, rv_, ru_), win),
+            1: (lambda g: census_ops.census_code_neighbor(g, rv_, ru_, 1), win),
+            2: (lambda g: census_ops.census_code_neighbor(g, rv_, ru_, 2), win),
+            3: (lambda g: census_ops.census_code_ncsur(g, rv_, ru_), win + 8),
+            4: (lambda g: census_ops.census_code_symmetric(g, rv_, ru_), win // 2),
+            5: (lambda g: census_ops.census_code_mean(g, rv_, ru_), win),
+        }[cfg.census_func]
+        census_pre = (code_fn(gray_l), code_fn(gray_r), n_bits)
+
+    def census_vm(ds):
+        cl, cr, n_bits = census_pre
+        return census_ops.hamming_volume(
+            cl, cr, d, lor, n_bits, cfg.census_trunc_ratio,
+            cfg.is_census_norm, disps=ds)
+
+    def grad_vm(ds, trunc):
+        return grad_volume(gray_l, gray_r, d, lor, trunc, cfg.grad_use_2dir,
+                           cfg.grad_fuse_adaptive, arms, cfg.is_grad_norm,
+                           disps=ds)
+
+    def block(ds):
+        if method == "ad":
+            return ad_volume(left, right, d, lor, trunc=1e9, disps=ds)
+        if method == "sd":
+            return ad_volume(left, right, d, lor, trunc=1e9, squared=True,
+                             disps=ds)
+        if method == "grad":
+            return grad_vm(ds, cfg.grad_trunc)
+        if method == "census":
+            return census_vm(ds)
+        if method == "census_grad":
+            return exp_fuse2(census_vm(ds), grad_vm(ds, cfg.grad_trunc),
+                             cfg.lam_cen, cfg.lam_g)
+        if method == "ad_grad":
+            advm = ad_volume(left, right, d, lor, trunc=cfg.ad_trunc, disps=ds)
+            gvm = grad_volume(gray_l, gray_r, d, lor, 2.0, cfg.grad_use_2dir,
+                              cfg.grad_fuse_adaptive, arms, disps=ds)
+            return fix_weight_fuse(advm, 0.11, gvm, 0.89)
+        if method == "ad_census":
+            advm = ad_volume(left, right, d, lor, trunc=1e9, disps=ds)
+            return exp_fuse2(census_vm(ds), advm, 30.0, 10.0)
+        if method == "ad_census_grad":
+            advm = ad_volume(left, right, d, lor, trunc=1e9, disps=ds)
+            return exp_fuse3(census_vm(ds), grad_vm(ds, cfg.grad_trunc), advm,
+                             cfg.lam_cen, cfg.lam_g, 10.0)
+        raise NotImplementedError(
+            f"cost {method!r} has no D-streaming form; unset d_stream_block")
+
+    return block
 
 
 def grad_mag_phase_volume(gray_l: jnp.ndarray, gray_r: jnp.ndarray,

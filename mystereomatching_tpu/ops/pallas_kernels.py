@@ -103,8 +103,123 @@ def _taps_kernel(vol_ref, an_ref, ap_ref, out_ref, buf, *, max_arm: int,
 
 def sublane_pass_fits(c: int, a: int, max_arm: int) -> bool:
     """Whether the arm-taps kernel's full-axis block (+f32 scratch/temps)
-    fits scoped VMEM. Beyond this, callers use the XLA taps fallback."""
-    return c * (a + 2 * max_arm) <= 3200
+    fits scoped VMEM. Beyond this, callers use the windowed-lookahead
+    kernel (:func:`_sublane_pass_windowed`) on TPU, XLA taps elsewhere.
+    (~12 live axis-length f32 buffers incl. double-buffered I/O; 2948
+    sublanes OOMed at 18.09M/16M, so the bound sits safely below that.)"""
+    return c * (a + 2 * max_arm) <= 2400
+
+
+def _taps_windowed_kernel(vol_ref, an_ref, ap_ref, out_ref, win, hist, tail,
+                          *, max_arm: int, op: str, ab: int, n_a: int):
+    """Windowed arm-bounded reduction along sublane axis, lookahead form.
+
+    Grid's last dim j runs 0..n_a (inclusive): step j FETCHES axis-block
+    min(j, n_a-1) of vol and EMITS output block j-1 (step 0 primes the
+    pipeline; output index map revisits block 0 so its j=0 garbage is
+    overwritten in-VMEM before any flush). Scratch carries the previous
+    block (``hist``) and the tail of the one before (``tail``), so each
+    input block is read from HBM exactly once regardless of axis length.
+
+    Correctness at the seams relies on the arm-clamping invariant
+    (calHorVerDis cpp:3030-3041): arms never reach outside the image, so
+    window sublanes beyond the array (Pallas pad of the last block, or the
+    identity-filled left edge) are never *selected* by the tap masks.
+    """
+    combine, ident_of = _REDUCE_OPS[op]
+    cdt = jnp.float32 if jnp.issubdtype(vol_ref.dtype, jnp.floating) else jnp.int32
+    ident = jnp.asarray(ident_of(cdt), cdt)
+    m = max_arm
+    j = pl.program_id(2)
+    cur = vol_ref[:].astype(cdt)                       # block min(j, n_a-1)
+
+    @pl.when(j >= 1)
+    def _compute():
+        win[:, :, :m, :] = jnp.where(j == 1, jnp.full_like(tail[:], ident),
+                                     tail[:])
+        win[:, :, m:m + ab, :] = hist[:]
+        win[:, :, m + ab:, :] = jnp.where(j == n_a,
+                                          jnp.full_like(cur[:, :, :m, :], ident),
+                                          cur[:, :, :m, :])
+        v = hist[:]
+        an = an_ref[:].astype(jnp.int32)[None]         # [1, 1, ab, B]
+        ap = ap_ref[:].astype(jnp.int32)[None]
+        fill = jnp.full_like(v, ident)
+        kmax = jnp.maximum(jnp.max(an), jnp.max(ap))
+
+        def body(k, acc):
+            fwd = win[:, :, pl.ds(m + k, ab), :]
+            bwd = win[:, :, pl.ds(m - k, ab), :]
+            acc = combine(acc, jnp.where(ap >= k, fwd, fill))
+            acc = combine(acc, jnp.where(an >= k, bwd, fill))
+            return acc
+
+        res = jax.lax.fori_loop(1, jnp.minimum(kmax, m) + 1, body, v)
+        out_ref[:] = res.astype(out_ref.dtype)
+
+    tail[:] = jnp.where(j == 0, jnp.full_like(tail[:], ident),
+                        hist[:, :, ab - m:, :])
+    hist[:] = cur
+
+
+def _sublane_pass_windowed(vol: jnp.ndarray, an: jnp.ndarray, ap: jnp.ndarray,
+                           max_arm: int, interpret: bool = False,
+                           op: str = "sum", ab: int = 0) -> jnp.ndarray:
+    """Arm-bounded reduction along axis 2 of vol [C, B, A, L] for A too long
+    to hold in one VMEM block (full-res rows/columns). Same tap order as
+    :func:`_sublane_pass`, so results are bit-identical."""
+    c, b, a, l = vol.shape
+    ba = an.shape[0]
+    m = max_arm
+    bt = min(l, 128)
+    if not ab:
+        # axis block: ~6 live (c, ab, bt) f32 buffers (win/hist/cur/out +
+        # tap temporaries) must fit the 16MB scoped-vmem stack; c*(ab+2m)
+        # ~1000 sublanes measured safe, 1600 OOMs at full-res
+        ab = max(8 * _cdiv(m, 8), (1024 // c - 2 * m) // 8 * 8)
+    ab = min(ab, _cdiv(a, 8) * 8)
+    n_a = _cdiv(a, ab)
+    grid = (b, _cdiv(l, bt), n_a + 1)
+    vol_spec = pl.BlockSpec(
+        (c, 1, ab, bt),
+        lambda bi, t, j: (0, bi, jnp.minimum(j, n_a - 1), t),
+        memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec(
+        (c, 1, ab, bt),
+        lambda bi, t, j: (0, bi, jnp.maximum(j - 1, 0), t),
+        memory_space=pltpu.VMEM)
+    arm_spec = pl.BlockSpec(
+        (1, ab, bt),
+        lambda bi, t, j: (bi if ba != 1 else 0, jnp.maximum(j - 1, 0), t),
+        memory_space=pltpu.VMEM)
+    kern = functools.partial(_taps_windowed_kernel, max_arm=m, op=op,
+                             ab=ab, n_a=n_a)
+    sdt = jnp.float32 if jnp.issubdtype(vol.dtype, jnp.floating) else jnp.int32
+    return pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[vol_spec, arm_spec, arm_spec],
+        out_specs=out_spec,
+        out_shape=jax.ShapeDtypeStruct(vol.shape, vol.dtype),
+        scratch_shapes=[pltpu.VMEM((c, 1, ab + 2 * m, bt), sdt),
+                        pltpu.VMEM((c, 1, ab, bt), sdt),
+                        pltpu.VMEM((c, 1, m, bt), sdt)],
+        cost_estimate=pl.CostEstimate(
+            flops=vol.size * (4 * max_arm + 1),
+            bytes_accessed=vol.size * 8 + an.size * 8,
+            transcendentals=0),
+        interpret=interpret,
+    )(vol, an, ap)
+
+
+def sublane_pass_auto(vol: jnp.ndarray, an: jnp.ndarray, ap: jnp.ndarray,
+                      max_arm: int, interpret: bool = False,
+                      op: str = "sum") -> jnp.ndarray:
+    """Arm-bounded reduction along axis 2: full-axis block when it fits
+    scoped VMEM, windowed-lookahead kernel otherwise."""
+    if sublane_pass_fits(vol.shape[0], vol.shape[2], max_arm):
+        return _sublane_pass(vol, an, ap, max_arm, interpret, op)
+    return _sublane_pass_windowed(vol, an, ap, max_arm, interpret, op)
 
 
 def _sublane_pass(vol: jnp.ndarray, an: jnp.ndarray, ap: jnp.ndarray,
@@ -428,8 +543,8 @@ def arm_bounded_sum_pallas(
     assert vol.ndim == 4 and arm_neg.ndim == 3, (vol.shape, arm_neg.shape)
     assert arm_neg.shape[0] in (1, vol.shape[1]) and axis in (2, 3)
     if axis == 2:
-        return _sublane_pass(vol, arm_neg, arm_pos, max_arm, interpret, op)
-    out = _sublane_pass(jnp.swapaxes(vol, 2, 3),
-                        jnp.swapaxes(arm_neg, 1, 2),
-                        jnp.swapaxes(arm_pos, 1, 2), max_arm, interpret, op)
+        return sublane_pass_auto(vol, arm_neg, arm_pos, max_arm, interpret, op)
+    out = sublane_pass_auto(jnp.swapaxes(vol, 2, 3),
+                            jnp.swapaxes(arm_neg, 1, 2),
+                            jnp.swapaxes(arm_pos, 1, 2), max_arm, interpret, op)
     return jnp.swapaxes(out, 2, 3)

@@ -14,7 +14,8 @@ from typing import Callable
 import jax.numpy as jnp
 
 
-def shifted_stack(img: jnp.ndarray, num_disp: int, lor: int) -> jnp.ndarray:
+def shifted_stack(img: jnp.ndarray, num_disp: int, lor: int,
+                  disps: jnp.ndarray = None) -> jnp.ndarray:
     """Disparity-shifted stack of the *other* image.
 
     For the left volume (lor=0) returns S[d, ..., v, u] = img[..., v, u-d]
@@ -28,10 +29,15 @@ def shifted_stack(img: jnp.ndarray, num_disp: int, lor: int) -> jnp.ndarray:
     rolls win).
 
     img: [..., W] (any leading dims). Returns [D, ..., W].
+
+    ``disps``: optional traced [Db] int32 disparity subset replacing
+    arange(num_disp) — the D-streaming path (full-res configs) builds the
+    volume one contiguous block of disparities at a time.
     """
     w = img.shape[-1]
     u = jnp.arange(w, dtype=jnp.int32)[None, :]
-    d = jnp.arange(num_disp, dtype=jnp.int32)[:, None]
+    d = (jnp.arange(num_disp, dtype=jnp.int32) if disps is None
+         else disps.astype(jnp.int32))[:, None]
     idx = u - d if lor == 0 else u + d          # [D, W]
     idx = jnp.clip(idx, 0, w - 1)
     out = jnp.take(img, idx, axis=-1)           # [..., D, W]
@@ -39,10 +45,12 @@ def shifted_stack(img: jnp.ndarray, num_disp: int, lor: int) -> jnp.ndarray:
     return jnp.moveaxis(out, -2, 0)
 
 
-def valid_mask(w: int, num_disp: int, lor: int) -> jnp.ndarray:
+def valid_mask(w: int, num_disp: int, lor: int,
+               disps: jnp.ndarray = None) -> jnp.ndarray:
     """[D, 1, W] bool — True where the matching pixel is inside the image."""
     u = jnp.arange(w, dtype=jnp.int32)[None, :]
-    d = jnp.arange(num_disp, dtype=jnp.int32)[:, None]
+    d = (jnp.arange(num_disp, dtype=jnp.int32) if disps is None
+         else disps.astype(jnp.int32))[:, None]
     ok = (u - d >= 0) if lor == 0 else (u + d < w)
     return ok[:, None, :]
 
@@ -54,6 +62,7 @@ def pointwise_volume(
     num_disp: int,
     lor: int,
     default: float,
+    disps: jnp.ndarray = None,
 ) -> jnp.ndarray:
     """Build [D,H,W] volume from a pointwise cost of (reference, shifted).
 
@@ -63,9 +72,9 @@ def pointwise_volume(
     cost, cpp:2470).
     """
     ref, other = (left, right) if lor == 0 else (right, left)
-    sh = shifted_stack(other, num_disp, lor)          # [D, ..., H, W]
+    sh = shifted_stack(other, num_disp, lor, disps)   # [D, ..., H, W]
     vol = cost_fn(ref[None], sh)                      # [D, H, W]
-    mask = valid_mask(left.shape[-1], num_disp, lor)
+    mask = valid_mask(left.shape[-1], num_disp, lor, disps)
     return jnp.where(mask, vol, jnp.asarray(default, vol.dtype))
 
 

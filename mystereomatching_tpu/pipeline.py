@@ -56,6 +56,10 @@ def compute_volumes(left, right, cfg: MatchConfig):
 
     vols = {}
     for lor in range(n_imgs):
+        if cfg.d_stream_block:
+            vols[lor] = _volume_dstream(left, right, gl, gr, cfg, lor,
+                                        arms_pair)
+            continue
         vol = cost_ops.compute_cost_volume(left, right, gl, gr, cfg, lor,
                                            arms=arms_pair[lor])
         if cfg.vol_dtype != "float32":
@@ -74,6 +78,40 @@ def compute_volumes(left, right, cfg: MatchConfig):
             vol = agg_ops.aggregate(vol, cfg, img, g, other_image=oth, lor=lor)
         vols[lor] = vol
     return vols, arms_pair
+
+
+def _volume_dstream(left, right, gl, gr, cfg: MatchConfig, lor, arms_pair):
+    """Cost + aggregation streamed over disparity blocks.
+
+    The full-res configurations (BASELINE config 5 at true 2014 scale,
+    2880x1988 D=256) cannot materialize the [4,D,H,W] intersected-arm
+    tensor (SURVEY.md §7 hard-part 3). Cost and CBCA are per-disparity
+    independent, so a ``fori_loop`` over D-blocks builds the aggregated
+    volume with only one block's arms/cost live at a time, writing
+    ``vol_dtype`` results in place into the [D,H,W] carry.
+    """
+    db = cfg.d_stream_block
+    nd = cfg.num_disp
+    block_fn = cost_ops.block_cost_builder(left, right, gl, gr, cfg, lor,
+                                           arms=arms_pair[lor])
+    vdt = jnp.dtype(cfg.vol_dtype)
+    out = jnp.zeros((nd,) + left.shape[:2], vdt)
+
+    def body(i, out):
+        d0 = i * db
+        ds = d0 + jnp.arange(db, dtype=jnp.int32)
+        blk = block_fn(ds).astype(vdt)
+        if cfg.aggregation == "cbca":
+            arms_int = arms_ops.intersect_arms_block(
+                arms_pair[0], arms_pair[1], ds, lor)
+            blk = agg_ops.cbca(blk, arms_int, cfg.cbca_iterations,
+                               max_arm=cfg.cbca_cross_l_out)
+        elif cfg.aggregation != "none":
+            raise NotImplementedError(
+                f"aggregation {cfg.aggregation!r} has no D-streaming form")
+        return jax.lax.dynamic_update_slice(out, blk.astype(vdt), (d0, 0, 0))
+
+    return jax.lax.fori_loop(0, nd // db, body, out)
 
 
 def optimize(vols, left, right, cfg: MatchConfig):

@@ -31,8 +31,14 @@ CONFIGS = [
     ("fullres_occfill",
      {"vol_dtype": "bfloat16", "compute_both_volumes": False},
      1280, 1500, 255,
-     "D=256 large-scale (bf16 volumes, cooperative WTA; largest plane the"
-     " VMEM-resident arm kernel handles without windowed DMA)"),
+     "D=256 large-scale (bf16 volumes, cooperative WTA; largest plane"
+     " without D-streaming)"),
+    ("fullres_occfill",
+     {"vol_dtype": "bfloat16", "compute_both_volumes": False,
+      "d_stream_block": 32},
+     1988, 2880, 255,
+     "TRUE full-res 2014 D=256 (bf16, cooperative WTA, cost+CBCA streamed"
+     " over 32-disparity blocks, windowed-lookahead arm kernels)"),
 ]
 
 ITERS = 3

@@ -40,6 +40,39 @@ def test_pallas_matches_taps(rng, axis, c, ba):
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-6)
 
 
+@pytest.mark.parametrize("axis", [2, 3])
+@pytest.mark.parametrize("c,ba,op", [(1, 1, "sum"), (2, 5, "sum"),
+                                     (1, 5, "min"), (2, 1, "max")])
+def test_windowed_pass_matches_taps(rng, axis, c, ba, op):
+    """Lookahead windowed kernel == taps reference on axes longer than any
+    single VMEM block (here forced by calling it directly)."""
+    from mystereomatching_tpu.ops.pallas_kernels import _sublane_pass_windowed
+
+    b, h, w, m = 5, 61, 90, 7
+    vol = jnp.asarray(rng.random((c, b, h, w)), jnp.float32)
+    an = jnp.asarray(rng.integers(0, m + 1, (ba, h, w)), jnp.int32)
+    ap = jnp.asarray(rng.integers(0, m + 1, (ba, h, w)), jnp.int32)
+    vv = jnp.arange(h)[:, None]
+    uu = jnp.arange(w)[None, :]
+    if axis == 2:
+        an = jnp.minimum(an, vv)
+        ap = jnp.minimum(ap, h - 1 - vv)
+        got = _sublane_pass_windowed(vol, an, ap, m, interpret=True, op=op,
+                                     ab=16)
+    else:
+        an = jnp.minimum(an, uu)
+        ap = jnp.minimum(ap, w - 1 - uu)
+        got = jnp.swapaxes(
+            _sublane_pass_windowed(jnp.swapaxes(vol, 2, 3),
+                                   jnp.swapaxes(an, 1, 2),
+                                   jnp.swapaxes(ap, 1, 2), m,
+                                   interpret=True, op=op, ab=16), 2, 3)
+    an_b = an[:, None] if ba == 1 else an[None]
+    ap_b = ap[:, None] if ba == 1 else ap[None]
+    want = A._arm_bounded_reduce_taps(vol, an_b, ap_b, axis, m, op=op)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-6)
+
+
 def test_area_formula_matches_mask_count(rng):
     h, w, m = 16, 20, 5
     vol = jnp.asarray(rng.random((3, h, w)), jnp.float32)

@@ -95,3 +95,18 @@ def test_cooperative_wta_single_volume_lrc(small_pair):
         return (((np.abs(d - gt) > 1) | (d < 0)) & m).sum() / m.sum()
 
     assert bad(d1) < bad(d2) + 0.03
+
+
+def test_d_streamed_volume_matches_dense(small_pair):
+    """d_stream_block builds cost+CBCA in disparity blocks
+    (pipeline._volume_dstream, full-res HBM path) — disparity-exact vs the
+    dense pipeline."""
+    from mystereomatching_tpu.models.presets import get_model
+    from mystereomatching_tpu.pipeline import StereoPipeline
+
+    kw = dict(max_disp=small_pair.max_disp, compute_both_volumes=False)
+    dense = get_model("fullres_occfill", **kw)
+    streamed = dense.replace(d_stream_block=4)
+    dd = np.asarray(StereoPipeline(dense)(small_pair.left, small_pair.right)["disparity"])
+    ds = np.asarray(StereoPipeline(streamed)(small_pair.left, small_pair.right)["disparity"])
+    np.testing.assert_array_equal(dd, ds)
