@@ -125,6 +125,9 @@ class MatchConfig:
 
     # --- NL tree filter -----------------------------------------------------
     nl_sigma: float = 0.1              # NLCCA sigma (NL/NLCCA.cpp:33)
+    nl_tree_host: bool = False         # hybrid: host-C++ Kruskal MST build
+                                       # (pure_callback; exact reference tie
+                                       # order), device tree filter
 
     # --- AWS ----------------------------------------------------------------
     aws_win: int = 17                  # 35x35 window -> radius 17 (h:1533)

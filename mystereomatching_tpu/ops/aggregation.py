@@ -125,12 +125,14 @@ def aggregate(
     arms_int: Optional[jnp.ndarray] = None,
     other_image: Optional[jnp.ndarray] = None,
     lor: int = 0,
+    tree=None,
 ) -> jnp.ndarray:
     """Aggregation dispatcher (cost-volume filtering stage of costCalculate).
 
     image/gray: the reference image of this volume (guide for GF/NL/AWS);
     other_image: the opposite view (AWS joint weights).
     arms_int: precomputed [4,D,H,W] intersected arms for CBCA.
+    tree: optional precomputed RootedTree for NL/GFNL (host-build hybrid).
     """
     method = cfg.aggregation
     if method == "none":
@@ -153,11 +155,11 @@ def aggregate(
     if method == "nl":
         from mystereomatching_tpu.ops.nl import nl_aggregate
 
-        return nl_aggregate(vol, image, sigma=cfg.nl_sigma)
+        return nl_aggregate(vol, image, sigma=cfg.nl_sigma, tree=tree)
     if method == "gfnl":
         from mystereomatching_tpu.ops.nl import gfnl_aggregate
 
-        return gfnl_aggregate(vol, image, gray, cfg)
+        return gfnl_aggregate(vol, image, gray, cfg, tree=tree)
     if method == "aws":
         from mystereomatching_tpu.ops.aws import aws_aggregate
 

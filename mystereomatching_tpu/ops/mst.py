@@ -97,24 +97,40 @@ def boruvka_mst(wr: jnp.ndarray, wd: jnp.ndarray) -> jnp.ndarray:
         cv = jnp.concatenate([c2[:, 1:].reshape(-1), c2[1:, :].T.reshape(-1)])
         return cu, cv
 
+    # dense per-edge packed (weight, index) keys: one segment-min per node
+    # over its <=4 incident edges happens as 2-D plane math (no gathers),
+    # collapsing the component segment-min from edge count (2E = 2.6M
+    # scatter elements, 16ms/round measured) to node count (N, ~1ms)
+    eidx_r = jnp.arange(h * (w - 1), dtype=jnp.int32).reshape(h, w - 1)
+    eidx_d = (h * (w - 1)
+              + jnp.arange(w * (h - 1), dtype=jnp.int32).reshape(w, h - 1).T)
+    key_r = (wr << 20) | eidx_r                      # [H, W-1]
+    key_d = (wd << 20) | eidx_d                      # [H-1, W]
+
     def round_body(state):
         comp, in_mst = state
-        cu, cv = end_labels(comp)
-        alive = cu != cv
-        # one packed (weight, index) key: a single segment-min replaces the
-        # min-weight pass + the min-index-among-minimal pass
-        eidx = jnp.arange(e, dtype=jnp.int32)
-        key = jnp.where(alive, (ew << 20) | eidx, jnp.int32(1 << 30))
-        both_seg = jnp.concatenate([cu, cv])
-        minkey = jax.ops.segment_min(jnp.concatenate([key, key]), both_seg,
+        c2 = comp.reshape(h, w)
+        alive_r = c2[:, :-1] != c2[:, 1:]
+        alive_d = c2[:-1, :] != c2[1:, :]
+        kr = jnp.where(alive_r, key_r, big_w)
+        kd = jnp.where(alive_d, key_d, big_w)
+        node_key = jnp.minimum(
+            jnp.minimum(jnp.pad(kr, ((0, 0), (0, 1)), constant_values=big_w),
+                        jnp.pad(kr, ((0, 0), (1, 0)), constant_values=big_w)),
+            jnp.minimum(jnp.pad(kd, ((0, 1), (0, 0)), constant_values=big_w),
+                        jnp.pad(kd, ((1, 0), (0, 0)), constant_values=big_w)))
+        minkey = jax.ops.segment_min(node_key.reshape(-1), comp,
                                      num_segments=n)
         mine = jnp.where(minkey < (1 << 30), minkey & ((1 << 20) - 1), big_i)
         has = mine < big_i
 
         # hooking: comp c -> component at the other end of its min edge
+        # (fused: one [N,2] endpoint gather + one [2N] label gather)
         sel = jnp.clip(mine, 0, e - 1)
-        other = jnp.where(comp[eu[sel]] == jnp.arange(n, dtype=jnp.int32),
-                          comp[ev[sel]], comp[eu[sel]])
+        uv = jnp.stack([eu, ev], 1)[sel]                     # [N, 2]
+        cuv = comp[uv.reshape(-1)].reshape(n, 2)
+        other = jnp.where(cuv[:, 0] == jnp.arange(n, dtype=jnp.int32),
+                          cuv[:, 1], cuv[:, 0])
         parent = jnp.where(has, other, jnp.arange(n, dtype=jnp.int32))
         # break 2-cycles: keep hook only from the smaller label
         two_cycle = parent[parent] == jnp.arange(n, dtype=jnp.int32)
@@ -143,14 +159,19 @@ def boruvka_mst(wr: jnp.ndarray, wd: jnp.ndarray) -> jnp.ndarray:
 
 
 def _jump_to_root(parent: jnp.ndarray) -> jnp.ndarray:
-    """Pointer-jump until parent == parent[parent] everywhere."""
-    def cond(p):
-        return jnp.any(p != p[p])
+    """Pointer-jump until parent == parent[parent] everywhere.
 
-    def body(p):
-        return p[p]
+    The convergence flag is computed inside the body from the gather it
+    already does — a `cond` that gathers p[p] itself would double the
+    gather count (the whole cost of this loop on TPU)."""
+    def body(state):
+        p, _ = state
+        p2 = p[p]
+        return p2, jnp.any(p2 != p)
 
-    return jax.lax.while_loop(cond, body, parent)
+    p, _ = jax.lax.while_loop(lambda s: s[1], body,
+                              (parent, jnp.bool_(True)))
+    return p
 
 
 # slot order: 0=right, 1=down, 2=left, 3=up (cyclic for the Euler tour)
@@ -207,17 +228,38 @@ def root_tree(in_mst: jnp.ndarray, wr: jnp.ndarray, wd: jnp.ndarray) -> RootedTr
     slot0 = jnp.argmax(pres_t[0], axis=0).astype(jnp.int32)
     e0 = slot0  # = 0*4 + slot0
 
-    # cut the cycle before e0 and rank by pointer doubling
+    # cut the cycle before e0, COMPACT the <=2(N-1) live directed edges out
+    # of the 4N slots (order-preserving prefix-sum ids), then rank by
+    # pointer doubling with dist+succ FUSED into one [.,2] gather per round
+    # — TPU gathers cost ~the same regardless of row width, so compaction
+    # (2x) + fusion (2x) cut the ranking's gather time ~4x.
+    iota = jnp.arange(de, dtype=jnp.int32)
     is_edge = present.T.reshape(de)
-    succ = jnp.where(succ == e0, jnp.arange(de, dtype=jnp.int32), succ)
-    succ = jnp.where(is_edge, succ, jnp.arange(de, dtype=jnp.int32))
-    dist = jnp.where(is_edge & (succ != jnp.arange(de, dtype=jnp.int32)), 1, 0)
-    rounds = math.ceil(math.log2(max(de, 2)))
+    succ = jnp.where(succ == e0, iota, succ)
+    succ = jnp.where(is_edge, succ, iota)
+    live = is_edge & (succ != iota)
+
+    nc = 2 * n                                        # static compact size
+    # old -> compact id: 2-level prefix sum ([H, 4W] rows + row offsets) —
+    # a flat 1-D cumsum over 4N elements hangs the TPU lowering
+    e2 = is_edge.astype(jnp.int32).reshape(h, 4 * w)
+    c2 = jnp.cumsum(e2, axis=1)
+    row_tot = c2[:, -1]
+    offs = jnp.cumsum(row_tot) - row_tot
+    newid = (c2 + offs[:, None]).reshape(-1) - 1      # [4N]
+    succ_new = jnp.where(live, newid[succ], -1)        # -1: tour end/self
+    slot = jnp.where(is_edge, newid, nc)               # nc: dropped
+    iota_c = jnp.arange(nc, dtype=jnp.int32)
+    succ_c = jnp.full((nc,), -1, jnp.int32).at[slot].set(succ_new, mode="drop")
+    succ_c = jnp.where(succ_c >= 0, succ_c, iota_c)
+    dist_c = jnp.where(succ_c != iota_c, 1, 0)
+    st = jnp.stack([dist_c, succ_c], axis=1)           # [2N, 2]
+    rounds = math.ceil(math.log2(max(nc, 2)))
     for _ in range(rounds):
-        dist = dist + dist[succ]
-        succ = succ[succ]
+        g = st[st[:, 1]]                               # one fused gather
+        st = jnp.stack([st[:, 0] + g[:, 0], g[:, 1]], axis=1)
     # dist = steps to tour end; earlier edge => larger dist
-    rank = -dist                                      # increasing along tour
+    rank = jnp.where(is_edge, -st[newid, 0], 0)        # back to slot space
 
     # parent via gathers: node v's parent is the neighbor t of the unique
     # present slot s whose INCOMING direction (t->v) ranks earlier than the
@@ -276,10 +318,15 @@ def tree_filter(tree: RootedTree, values: jnp.ndarray, sigma: float = 0.1) -> jn
     # Doubling rounds run until every path product has crossed the root
     # (sim[root] = 0 makes wt exactly 0 there), i.e. 2^k >= tree height —
     # typically far fewer than the static log2(N) worst case.
+    # (wt, par) ride in one fused per-round gather — TPU gather cost is
+    # ~width-independent, so 2-3 gathers/round collapse to 1 (par fits f32
+    # exactly: n < 2^24 even at full-res 2014)
     def up_body(state):
         s_up, wt, par = state
         contrib = jax.ops.segment_sum(wt[:, None] * s_up, par, num_segments=n)
-        return s_up + contrib, wt * wt[par], par[par]
+        wp = jnp.concatenate([wt[:, None],
+                              par.astype(jnp.float32)[:, None]], 1)[par]
+        return s_up + contrib, wt * wp[:, 0], wp[:, 1].astype(jnp.int32)
 
     def live(state):
         return jnp.any(state[1] > 0.0)
@@ -293,7 +340,10 @@ def tree_filter(tree: RootedTree, values: jnp.ndarray, sigma: float = 0.1) -> jn
 
     def down_body(state):
         s, wt, par = state
-        return s + wt[:, None] * s[par], wt * wt[par], par[par]
+        packed = jnp.concatenate(
+            [s, wt[:, None], par.astype(jnp.float32)[:, None]], 1)[par]
+        return (s + wt[:, None] * packed[:, :-2], wt * packed[:, -2],
+                packed[:, -1].astype(jnp.int32))
 
     s, _, _ = jax.lax.while_loop(live, down_body, (b, sim, tree.parent))
     return s[:, 0] if squeeze else s

@@ -35,11 +35,13 @@ def _needs_arms_for_cost(cfg: MatchConfig) -> bool:
     return cfg.cost in grad_costs and cfg.grad_use_2dir and cfg.grad_fuse_adaptive
 
 
-def compute_volumes(left, right, cfg: MatchConfig):
+def compute_volumes(left, right, cfg: MatchConfig, host_trees=None):
     """L1+L2: cost volumes for the needed views, aggregated.
 
     Returns (vols, arms_pair): vols is a dict {0: volL, 1: volR?};
     arms_pair is (HVL0, HVL1) cross arms or (None, None).
+    host_trees: optional {lor: (parent, weight)} precomputed rooted MSTs
+    (the NL host-build hybrid — see ops/nl.build_tree_host).
     """
     gl, gr = to_gray(left), to_gray(right)
     n_imgs = 2 if (cfg.compute_both_volumes and cfg.do_lr_consis) else 1
@@ -75,7 +77,14 @@ def compute_volumes(left, right, cfg: MatchConfig):
         else:
             img, g = (left, gl) if lor == 0 else (right, gr)
             oth = right if lor == 0 else left
-            vol = agg_ops.aggregate(vol, cfg, img, g, other_image=oth, lor=lor)
+            tree = None
+            if host_trees is not None and lor in host_trees:
+                from mystereomatching_tpu.ops.mst import RootedTree
+
+                p, w_ = host_trees[lor]
+                tree = RootedTree(parent=p, weight=w_, shape=left.shape[:2])
+            vol = agg_ops.aggregate(vol, cfg, img, g, other_image=oth,
+                                    lor=lor, tree=tree)
         vols[lor] = vol
     return vols, arms_pair
 
@@ -209,15 +218,18 @@ def refine(d_left, d_right, vol_left, left, arms0, cfg: MatchConfig):
     return d
 
 
-def match_pair(left: jnp.ndarray, right: jnp.ndarray, cfg: MatchConfig) -> Dict[str, jnp.ndarray]:
+def match_pair(left: jnp.ndarray, right: jnp.ndarray, cfg: MatchConfig,
+               host_trees=None) -> Dict[str, jnp.ndarray]:
     """Full pipeline. left/right: [H,W,3] uint8/float32 RGB.
 
     Returns dict with 'disparity' (float32 [H,W], negatives = sentinel
     codes), 'disp_left_raw', 'disp_right_raw' (pre-refinement int32).
+    host_trees: optional {lor: (parent, weight)} for the NL host-build
+    hybrid (cfg.nl_tree_host; computed by StereoPipeline outside jit).
     """
     left = left.astype(jnp.float32)
     right = right.astype(jnp.float32)
-    vols, arms_pair = compute_volumes(left, right, cfg)
+    vols, arms_pair = compute_volumes(left, right, cfg, host_trees)
     if cfg.pyramid_levels > 1:
         # cross-scale aggregation (SolveAll, cpp:2142-2208): build coarser
         # aggregated volumes on a Gaussian pyramid (maxdisp/2+1 per level,
@@ -246,13 +258,37 @@ def match_pair(left: jnp.ndarray, right: jnp.ndarray, cfg: MatchConfig) -> Dict[
 
 
 class StereoPipeline:
-    """Jitted pipeline wrapper; one compiled executable per (config, shape)."""
+    """Jitted pipeline wrapper; one compiled executable per (config, shape).
+
+    With ``cfg.nl_tree_host`` (NL/GFNL aggregation), the MST is built on the
+    host by the native C++ runtime before dispatch — the tree is a pure
+    function of the input frame, so it enters the jitted program as two [N]
+    arguments instead of ~400ms of device Borůvka + list-ranking gathers.
+    """
 
     def __init__(self, cfg: MatchConfig):
         self.cfg = cfg.validate()
+        self._host_trees = (cfg.nl_tree_host
+                            and cfg.aggregation in ("nl", "gfnl"))
         self._fn = jax.jit(functools.partial(match_pair, cfg=self.cfg))
 
+    def _trees(self, left, right):
+        import numpy as np
+
+        from mystereomatching_tpu.ops.nl import build_tree_host
+
+        n_imgs = 2 if (self.cfg.compute_both_volumes
+                       and self.cfg.do_lr_consis) else 1
+        trees = {}
+        for lor, img in ((0, left), (1, right))[:n_imgs]:
+            t = build_tree_host(np.asarray(img))
+            trees[lor] = (t.parent, t.weight)
+        return trees
+
     def __call__(self, left, right) -> Dict[str, jnp.ndarray]:
+        if self._host_trees:
+            return self._fn(jnp.asarray(left), jnp.asarray(right),
+                            host_trees=self._trees(left, right))
         return self._fn(jnp.asarray(left), jnp.asarray(right))
 
     def lower(self, left, right):

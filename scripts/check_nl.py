@@ -14,8 +14,10 @@ def t(fn, *a, iters=3):
     for _ in range(iters): jax.tree.map(sync, fn(*a))
     return (time.perf_counter() - t0) / iters
 
+# NOTE: never call build_tree EAGERLY on the tunnel (hundreds of tiny
+# compiles wedge the remote compile queue) — jit whole stages.
 bt = jax.jit(lambda i: M.build_tree(i)[:2])
-print(f"build_tree : {t(bt, img)*1e3:8.1f} ms")
-tree = M.build_tree(img)
-tf = jax.jit(lambda v: M.tree_filter(tree, v))
-print(f"tree_filter: {t(tf, vals)*1e3:8.1f} ms")
+print(f"build_tree : {t(bt, img)*1e3:8.1f} ms", flush=True)
+p, w_ = bt(img)
+tf = jax.jit(lambda p, w_, v: M.tree_filter(M.RootedTree(p, w_, (H, W)), v))
+print(f"tree_filter: {t(tf, p, w_, vals)*1e3:8.1f} ms", flush=True)

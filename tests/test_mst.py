@@ -145,3 +145,20 @@ def test_nl_aggregate_smoke():
     cvol = jnp.ones((2, 12, 16), jnp.float32) * 5.0
     cout = np.asarray(nl_aggregate(cvol, jnp.asarray(img, jnp.float32)))
     np.testing.assert_allclose(cout, 5.0, rtol=1e-4)
+
+
+def test_host_tree_matches_device_tree(rng):
+    """Hybrid host-C++ Kruskal build (nl.build_tree_host) produces the SAME
+    rooted tree as the device Borůvka + Euler-tour path: both break weight
+    ties by edge index, so the MST is identical, and parent/weight are
+    determined by the tree + root."""
+    import jax.numpy as jnp
+
+    from mystereomatching_tpu.ops.mst import build_tree
+    from mystereomatching_tpu.ops.nl import build_tree_host
+
+    img = jnp.asarray(rng.integers(0, 255, (23, 31, 3)), jnp.float32)
+    dev = build_tree(img, prefilter=False)
+    host = build_tree_host(img, prefilter=False)
+    np.testing.assert_array_equal(np.asarray(dev.parent), np.asarray(host.parent))
+    np.testing.assert_array_equal(np.asarray(dev.weight), np.asarray(host.weight))
