@@ -322,6 +322,93 @@ def proper_interpolation_pallas(disp: jnp.ndarray, image_chw: jnp.ndarray,
     return occ, misd, misc, fany.astype(jnp.int32)
 
 
+def _pi_dir_kernel_tiled(dpad_ref, cpad_ref, dsp_ref, cdf_ref, *,
+                         offs_k, m: int, th: int, tw: int):
+    """Tiled variant of :func:`_pi_dir_kernel`: one grid step per halo'd
+    tile [th+2m, tw+2m] (full-res planes don't fit VMEM whole)."""
+    inf = jnp.float32(jnp.finfo(jnp.float32).max)
+    dsp_ref[0] = jnp.full((th, tw), -1, jnp.int32)
+    cdf_ref[0] = jnp.full((th, tw), inf, jnp.float32)
+    for dv, du in offs_k:
+        nd = dpad_ref[0, m + dv:m + dv + th, m + du:m + du + tw]
+        hit = (dsp_ref[0] < 0) & (nd >= 0)
+        cd = jnp.abs(cpad_ref[0, 0, m + dv:m + dv + th, m + du:m + du + tw]
+                     - cpad_ref[0, 0, m:m + th, m:m + tw])
+        for c in (1, 2):
+            cd = jnp.maximum(
+                cd, jnp.abs(cpad_ref[0, c, m + dv:m + dv + th,
+                                     m + du:m + du + tw]
+                            - cpad_ref[0, c, m:m + th, m:m + tw]))
+        dsp_ref[0] = jnp.where(hit, nd, dsp_ref[0])
+        cdf_ref[0] = jnp.where(hit, cd, cdf_ref[0])
+
+
+def proper_interpolation_pallas_tiled(disp: jnp.ndarray,
+                                      image_chw: jnp.ndarray,
+                                      offsets, tile: int = 384,
+                                      interpret: bool = False):
+    """Proper interpolation on planes too large for whole-plane VMEM:
+    the padded plane is cut into overlapping halo'd tiles (the ray reach m
+    is small), one grid step per tile per direction. Bit-identical to the
+    whole-plane kernel / XLA fallback — every tap sees the same values."""
+    h, w = disp.shape
+    m = int(max(abs(int(o)) for ks in offsets for st in ks for o in st))
+    th = tw = tile
+    nh, nw = _cdiv(h, th), _cdiv(w, tw)
+    t = nh * nw
+    dpad = jnp.pad(disp.astype(jnp.int32),
+                   ((m, m + nh * th - h), (m, m + nw * tw - w)),
+                   constant_values=-1)
+    cpad = jnp.pad(image_chw.astype(jnp.float32),
+                   ((0, 0), (m, m + nh * th - h), (m, m + nw * tw - w)),
+                   constant_values=1e9)
+    dt = jnp.stack([dpad[i * th:(i + 1) * th + 2 * m,
+                         j * tw:(j + 1) * tw + 2 * m]
+                    for i in range(nh) for j in range(nw)])
+    ct = jnp.stack([cpad[:, i * th:(i + 1) * th + 2 * m,
+                         j * tw:(j + 1) * tw + 2 * m]
+                    for i in range(nh) for j in range(nw)])
+    dspec = pl.BlockSpec((1, th + 2 * m, tw + 2 * m), lambda ti: (ti, 0, 0),
+                         memory_space=pltpu.VMEM)
+    cspec = pl.BlockSpec((1, 3, th + 2 * m, tw + 2 * m),
+                         lambda ti: (ti, 0, 0, 0), memory_space=pltpu.VMEM)
+    ospec = pl.BlockSpec((1, th, tw), lambda ti: (ti, 0, 0),
+                         memory_space=pltpu.VMEM)
+    out_shapes = (jax.ShapeDtypeStruct((t, th, tw), jnp.int32),
+                  jax.ShapeDtypeStruct((t, th, tw), jnp.float32))
+
+    def untile(x):
+        return (x.reshape(nh, nw, th, tw).swapaxes(1, 2)
+                .reshape(nh * th, nw * tw)[:h, :w])
+
+    big = jnp.int32(10 ** 6)
+    inf = jnp.float32(jnp.finfo(jnp.float32).max)
+    occ = jnp.full((t, th, tw), big, jnp.int32)
+    fany = jnp.zeros((t, th, tw), jnp.bool_)
+    misd = jnp.full((t, th, tw), -1, jnp.int32)
+    misc = jnp.full((t, th, tw), inf, jnp.float32)
+    for k in range(len(offsets)):
+        offs_k = tuple((int(st[0]), int(st[1])) for st in offsets[k])
+        dsp, cdf = pl.pallas_call(
+            functools.partial(_pi_dir_kernel_tiled, offs_k=offs_k, m=m,
+                              th=th, tw=tw),
+            grid=(t,),
+            in_specs=[dspec, cspec],
+            out_specs=(ospec, ospec),
+            out_shape=out_shapes,
+            interpret=interpret,
+        )(dt, ct)
+        ok = dsp >= 0
+        occ = jnp.minimum(occ, jnp.where(ok, dsp, big))
+        fany = fany | ok
+        cde = jnp.where(ok & (cdf < 255.0), cdf, inf)
+        upd = cde < misc                 # first strict min wins (argmin)
+        misd = jnp.where(upd, dsp, misd)
+        misc = jnp.where(upd, cde, misc)
+    return (untile(occ), untile(misd), untile(misc),
+            untile(fany.astype(jnp.int32)))
+
+
 def _wta_kernel(vol_ref, out_ref, *, choose_small: bool):
     """First-occurrence argmin/argmax over the leading (D) block axis.
 
@@ -456,7 +543,8 @@ def _sgm_kernel(vol_ref, ps_ref, mask_ref, init_ref, out_ref, carry,
 def sgm_scan_pallas(vol: jnp.ndarray, pscale: jnp.ndarray,
                     mask=None, p1: float = 1.0, p2: float = 3.0,
                     init=None, reverse: bool = False,
-                    interpret: bool = False) -> jnp.ndarray:
+                    interpret: bool = False,
+                    wt_override: int = 0, hc_override: int = 0) -> jnp.ndarray:
     """Batched SGM path-cost scan, top-down (default) or bottom-up.
 
     vol: [G, D, H, W] cost volumes (callers pre-transpose/skew per
@@ -481,6 +569,10 @@ def sgm_scan_pallas(vol: jnp.ndarray, pscale: jnp.ndarray,
     while wt > 128 and unit * d_ * wt * 8 > budget:
         wt -= 128
     hc = max(8, min(h, budget // (unit * d_ * wt) // 8 * 8))
+    if wt_override:
+        wt = min(wt_override, _cdiv(w, 128) * 128)
+    if hc_override:
+        hc = min(hc_override, _cdiv(h, 8) * 8)
     nh = _cdiv(h, hc)
     grid = (g, _cdiv(w, wt), nh)
     hix = (lambda hi: nh - 1 - hi) if reverse else (lambda hi: hi)

@@ -224,10 +224,15 @@ def proper_interpolation(
     from mystereomatching_tpu.ops import pallas_kernels as pk
 
     h, w = disp.shape
-    if pk.tpu_backend() and h * w * 4 * 16 < 12 * 1024 * 1024:
-        # whole-plane VMEM kernel (one pass instead of 320 HBM-bound steps)
-        occ_fill, mis_raw, mis_cdif, fany = pk.proper_interpolation_pallas(
-            disp, img, offs)
+    if pk.tpu_backend():
+        # VMEM kernels (one pass instead of 320 HBM-bound steps): whole
+        # plane when it fits scoped VMEM, overlapping halo'd tiles beyond
+        if h * w * 4 * 16 < 12 * 1024 * 1024:
+            occ_fill, mis_raw, mis_cdif, fany = pk.proper_interpolation_pallas(
+                disp, img, offs)
+        else:
+            occ_fill, mis_raw, mis_cdif, fany = (
+                pk.proper_interpolation_pallas_tiled(disp, img, offs))
         found_any = fany > 0
         mis_found = jnp.isfinite(mis_cdif) & (
             mis_cdif < jnp.finfo(jnp.float32).max)

@@ -142,6 +142,27 @@ def test_proper_interpolation_pallas_matches_xla(rng, small_pair):
     np.testing.assert_array_equal(got, want)
 
 
+def test_proper_interpolation_tiled_matches_whole(rng):
+    """Halo'd-tile PI kernel == whole-plane PI kernel (forced multi-tile)."""
+    import jax.numpy as jnp
+
+    from mystereomatching_tpu.ops import refine as R
+    from mystereomatching_tpu.ops.pallas_kernels import (
+        proper_interpolation_pallas, proper_interpolation_pallas_tiled)
+
+    h, w, depth = 50, 70, 6
+    disp = jnp.asarray(rng.integers(-1, 12, (h, w)), jnp.int32)
+    disp = jnp.where(jnp.asarray(rng.random((h, w)) < 0.2), -32, disp)
+    img = jnp.moveaxis(
+        jnp.asarray(rng.integers(0, 255, (h, w, 3)), jnp.float32), -1, 0)
+    offs = R._pi_offsets(depth)
+    whole = proper_interpolation_pallas(disp, img, offs, interpret=True)
+    tiled = proper_interpolation_pallas_tiled(disp, img, offs, tile=24,
+                                              interpret=True)
+    for a, b in zip(whole, tiled):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_sgm_scan_pallas_init_carry(rng):
     """Chunked scans with boundary-carry init == one unchunked scan."""
     import jax.numpy as jnp
