@@ -23,7 +23,10 @@ import time
 CPU_BASELINE_MPDS = 5.0
 
 H, W, D = 375, 450, 60
-BATCH = 12         # frames per dispatch (throughput/serving mode; also amortizes the ~25ms tunnel dispatch round-trip)
+BATCH = 16         # frames per dispatch (throughput/serving mode; also
+                   # amortizes the ~25ms tunnel dispatch round-trip).
+                   # Measured: B=12 474, B=16 494, B=20 481 MP*disp/s
+                   # (B=24 fails to compile)
 WARMUP = 2
 ITERS = 5
 
