@@ -234,6 +234,10 @@ def sgm_directions(vol_list, img_list, dirs, p1: float = 1.0,
                     pS, _ = _skew(p, s2, 1.0)
                     groups.setdefault(("d", rv > 0), []).append(
                         (i, vS, pS, ok, s2))
+        # the two horizontal directions accumulate in TRANSPOSED space and
+        # swap back once per volume (saves one [D,W,H] transpose each; the
+        # XLA fallback below mirrors the same summation association)
+        h_acc = {}
         for (kind, rev), items in groups.items():
             volS = jnp.stack([it[1] for it in items])
             psS = jnp.stack([it[2] for it in items])
@@ -243,10 +247,13 @@ def sgm_directions(vol_list, img_list, dirs, p1: float = 1.0,
             for j, (i, *_mid, s2) in enumerate(items):
                 r = res[j]
                 if kind == "h":
-                    r = jnp.swapaxes(r, 1, 2)
-                elif kind == "d":
+                    h_acc[i] = r if i not in h_acc else h_acc[i] + r
+                    continue
+                if kind == "d":
                     r = _unskew(r, s2, vol_list[i].shape[-1])
                 out[i] = out[i] + r
+        for i, rt in h_acc.items():
+            out[i] = out[i] + jnp.swapaxes(rt, 1, 2)
         return out
 
     groups = {"v": [], "h": [], "d": []}
@@ -268,7 +275,12 @@ def sgm_directions(vol_list, img_list, dirs, p1: float = 1.0,
                 pS, _ = _skew(pF, sign, 1.0)
                 groups["d"].append((i, rv, sign, vS, pS, ok))
 
-    for gname, items in groups.items():
+    # "h" accumulates in transposed space and swaps back once per volume,
+    # LAST — the same summation association as the TPU branch above, so
+    # the two paths stay bit-comparable
+    h_acc = {}
+    for gname in ("v", "d", "h"):
+        items = groups[gname]
         if not items:
             continue
         volS = jnp.stack([it[3] for it in items])
@@ -287,10 +299,12 @@ def sgm_directions(vol_list, img_list, dirs, p1: float = 1.0,
                 out[i] = out[i] + (r[:, ::-1] if a > 0 else r)
             elif gname == "h":
                 r = r[:, ::-1] if a > 0 else r
-                out[i] = out[i] + jnp.swapaxes(r, 1, 2)
+                h_acc[i] = r if i not in h_acc else h_acc[i] + r
             else:
                 r = _unskew(r, sign, vol_list[i].shape[-1])
                 out[i] = out[i] + (r[:, ::-1] if a > 0 else r)
+    for i, rt in h_acc.items():
+        out[i] = out[i] + jnp.swapaxes(rt, 1, 2)
     return out
 
 
