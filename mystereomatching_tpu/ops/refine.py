@@ -50,7 +50,9 @@ def lr_consistency_classify(d_left: jnp.ndarray, d_right: jnp.ndarray,
     """Classifying LRC (cpp:2284-2364): failed pixels become DISP_MIS if
     any d' has d_R(u-d') == d' (some right pixel maps onto u), else
     DISP_OCC. The existence test is a scatter: right pixel x maps to
-    column x + d_R(x)."""
+    column x + d_R(x). (A D-static-shift formulation avoids the
+    scatter/gather pair but its D=256 unrolled graph stalls the TPU
+    compiler >25min — not worth 100ms/frame at full-res.)"""
     h, w = d_left.shape
     u = jnp.arange(w, dtype=jnp.int32)[None, :]
     x = u - d_left
@@ -286,15 +288,26 @@ def proper_interpolation(
 
 def _nearest_valid_left(disp: jnp.ndarray) -> jnp.ndarray:
     """Per row: value of the nearest valid pixel to the left (exclusive),
-    -1 if none. O(W) via cumulative max of last-valid index."""
+    -1 if none.
+
+    TPU-first: the disparity VALUE rides in the low bits of a
+    (column-index, value) packed key, so one log-shift running max
+    replaces ``lax.cummax`` + a lane gather (cummax lowering + per-row
+    take_along_axis measured ~60x off bandwidth at full-res)."""
     h, w = disp.shape
     u = jnp.arange(w, dtype=jnp.int32)[None, :]
-    idx = jnp.where(disp >= 0, u, -1)
+    k = 2048                                   # > max disparity value
+    key = jnp.where(disp >= 0, u * k + disp, -1)
     # exclusive: shift right before scanning
-    idx = jnp.concatenate([jnp.full((h, 1), -1, jnp.int32), idx[:, :-1]], axis=1)
-    last = jax_cummax(idx, axis=1)
-    val = jnp.take_along_axis(disp, jnp.clip(last, 0, w - 1), axis=1)
-    return jnp.where(last >= 0, val, -1)
+    key = jnp.concatenate([jnp.full((h, 1), -1, jnp.int32), key[:, :-1]],
+                          axis=1)
+    sh = 1
+    while sh < w:                              # running max via log shifts
+        shifted = jnp.concatenate(
+            [jnp.full((h, sh), -1, jnp.int32), key[:, :-sh]], axis=1)
+        key = jnp.maximum(key, shifted)
+        sh *= 2
+    return jnp.where(key >= 0, key % k, -1)
 
 
 def jax_cummax(x: jnp.ndarray, axis: int) -> jnp.ndarray:
