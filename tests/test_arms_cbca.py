@@ -69,3 +69,21 @@ def test_cbca_matches_oracle(img):
     got = np.asarray(cbca(jnp.asarray(vol), jnp.asarray(ai), iterations=2))
     want = oracle.cbca(vol, ai, iterations=2)
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_intersect_arms_block_matches_dense(rng):
+    """D-streaming arm intersection == the dense intersect_arms slice."""
+    import jax.numpy as jnp
+
+    from mystereomatching_tpu.ops import arms as A
+
+    h, w, nd = 20, 30, 12
+    al = jnp.asarray(rng.integers(0, 8, (4, h, w)), jnp.int32)
+    ar = jnp.asarray(rng.integers(0, 8, (4, h, w)), jnp.int32)
+    for lor in (0, 1):
+        dense = A.intersect_arms(al, ar, nd, lor)
+        for d0, db in ((0, 4), (4, 4), (8, 4)):
+            ds = d0 + jnp.arange(db, dtype=jnp.int32)
+            blk = A.intersect_arms_block(al, ar, ds, lor)
+            np.testing.assert_array_equal(np.asarray(blk),
+                                          np.asarray(dense[:, d0:d0 + db]))
