@@ -6,11 +6,13 @@ on a Teddy-sized problem (375x450, D=60) and reports
 MP·disparities/second per chip.
 
 ``vs_baseline`` compares against the reference's single-thread CPU
-implementation. The reference publishes no numbers (BASELINE.md), so the
-baseline constant below is our measured estimate of the same default
-pipeline at Teddy scale on a modern x86 core: the reference's own
-time.txt instrumentation bounds the full pipeline at multiple seconds per
-Teddy frame; we pin 5.0 MP·disp/s (≈2 s/frame), generous to the CPU.
+implementation, MEASURED on this machine: the actual reference binary
+(built via refbuild/Makefile, driven through its native costCalculate ->
+dispOptimize -> refine flow with Do_refine=1) runs the same default
+pipeline on the Teddy-scale scene in 3.06 s/frame = 3.31 MP·disp/s
+(2026-08-17, g++ -O2 -fopenmp on this host; see refbuild/). Our output is
+bit-identical to that binary's (tests/test_reference_golden.py), so the
+ratio compares equal-quality pipelines.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
@@ -19,8 +21,9 @@ import functools
 import json
 import time
 
-# Reference CPU estimate (MP·disp/s) for the default pipeline at Teddy scale.
-CPU_BASELINE_MPDS = 5.0
+# Reference CPU baseline (MP·disp/s), measured via refbuild/refdriver on
+# teddy_scale (375x450, D=60): 3.06 s/frame.
+CPU_BASELINE_MPDS = 3.31
 
 H, W, D = 375, 450, 60
 BATCH = 16         # frames per dispatch (throughput/serving mode; also

@@ -233,6 +233,12 @@ class MatchConfig:
             raise ValueError(
                 f"d_stream_block={self.d_stream_block} must divide "
                 f"num_disp={self.num_disp}")
+        if max(self.cbca_cross_l, self.cbca_cross_l_out) > 127:
+            # arm intersection narrows to int8 (ops/arms.py); longer arms
+            # would silently clamp and diverge from the reference (ADVICE r1)
+            raise ValueError(
+                f"cross arm lengths (l={self.cbca_cross_l}, "
+                f"l_out={self.cbca_cross_l_out}) must be <= 127 (int8 arms)")
         return self
 
 

@@ -82,7 +82,7 @@ def boruvka_mst(wr: jnp.ndarray, wd: jnp.ndarray) -> jnp.ndarray:
     n = h * w
     eu, ev, ew = _flatten_edges(wr, wd)
     e = eu.shape[0]
-    big_w = jnp.int32(1 << 30)
+    big_w = jnp.int32(2**31 - 1)   # > any packed key (weight<<idx_bits | idx)
     big_i = jnp.int32(e)
 
     comp = jnp.arange(n, dtype=jnp.int32)
@@ -101,11 +101,22 @@ def boruvka_mst(wr: jnp.ndarray, wd: jnp.ndarray) -> jnp.ndarray:
     # over its <=4 incident edges happens as 2-D plane math (no gathers),
     # collapsing the component segment-min from edge count (2E = 2.6M
     # scatter elements, 16ms/round measured) to node count (N, ~1ms)
+    # (weight << idx_bits) | edge_index packed into int32: weights are
+    # 8-bit color diffs, so idx_bits = bit_length(E) works up to E < 2^23
+    # (~4 MP images). Beyond that int32 cannot hold both fields — route
+    # large frames through build_tree_host (nl_tree_host=1). (ADVICE r1:
+    # the former fixed 20-bit field silently corrupted trees > 0.52 MP.)
+    idx_bits = max(20, int(e).bit_length())
+    if 8 + idx_bits > 31:
+        raise ValueError(
+            f"boruvka_mst: {e} edges need {idx_bits} index bits; "
+            "int32 packed keys overflow — use the host tree build "
+            "(cfg.nl_tree_host=1) for frames this large")
     eidx_r = jnp.arange(h * (w - 1), dtype=jnp.int32).reshape(h, w - 1)
     eidx_d = (h * (w - 1)
               + jnp.arange(w * (h - 1), dtype=jnp.int32).reshape(w, h - 1).T)
-    key_r = (wr << 20) | eidx_r                      # [H, W-1]
-    key_d = (wd << 20) | eidx_d                      # [H-1, W]
+    key_r = (wr << idx_bits) | eidx_r                # [H, W-1]
+    key_d = (wd << idx_bits) | eidx_d                # [H-1, W]
 
     def round_body(state):
         comp, in_mst = state
@@ -121,7 +132,7 @@ def boruvka_mst(wr: jnp.ndarray, wd: jnp.ndarray) -> jnp.ndarray:
                         jnp.pad(kd, ((1, 0), (0, 0)), constant_values=big_w)))
         minkey = jax.ops.segment_min(node_key.reshape(-1), comp,
                                      num_segments=n)
-        mine = jnp.where(minkey < (1 << 30), minkey & ((1 << 20) - 1), big_i)
+        mine = jnp.where(minkey < big_w, minkey & ((1 << idx_bits) - 1), big_i)
         has = mine < big_i
 
         # hooking: comp c -> component at the other end of its min edge

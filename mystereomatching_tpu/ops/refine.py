@@ -286,17 +286,23 @@ def proper_interpolation(
 # Background interpolation (BGIpol cpp:7323-7338 + core 7010-7044)
 # ---------------------------------------------------------------------------
 
-def _nearest_valid_left(disp: jnp.ndarray) -> jnp.ndarray:
+def _nearest_valid_left(disp: jnp.ndarray, num_disp: int = 1024) -> jnp.ndarray:
     """Per row: value of the nearest valid pixel to the left (exclusive),
     -1 if none.
 
     TPU-first: the disparity VALUE rides in the low bits of a
     (column-index, value) packed key, so one log-shift running max
     replaces ``lax.cummax`` + a lane gather (cummax lowering + per-row
-    take_along_axis measured ~60x off bandwidth at full-res)."""
+    take_along_axis measured ~60x off bandwidth at full-res).
+
+    ``num_disp`` bounds the packed value field; the key (w * k + value)
+    must stay inside int31 or the fill silently corrupts (ADVICE r1)."""
     h, w = disp.shape
     u = jnp.arange(w, dtype=jnp.int32)[None, :]
-    k = 2048                                   # > max disparity value
+    k = 1 << max(num_disp, 2).bit_length()     # pow2 > any disparity value
+    if w * k >= (1 << 31):
+        raise ValueError(
+            f"_nearest_valid_left: w={w} * value field {k} overflows int32")
     key = jnp.where(disp >= 0, u * k + disp, -1)
     # exclusive: shift right before scanning
     key = jnp.concatenate([jnp.full((h, 1), -1, jnp.int32), key[:, :-1]],
@@ -316,12 +322,12 @@ def jax_cummax(x: jnp.ndarray, axis: int) -> jnp.ndarray:
     return jax.lax.cummax(x, axis=axis)
 
 
-def bg_interpolation(disp: jnp.ndarray) -> jnp.ndarray:
+def bg_interpolation(disp: jnp.ndarray, num_disp: int = 1024) -> jnp.ndarray:
     """Horizontal nearest-valid fill taking the smaller (background)
     disparity of the two sides (backgroundInterpolateCore cpp:7010-7044;
     search depth 1000 = unbounded in practice)."""
-    left = _nearest_valid_left(disp)
-    right = _nearest_valid_left(disp[:, ::-1])[:, ::-1]
+    left = _nearest_valid_left(disp, num_disp)
+    right = _nearest_valid_left(disp[:, ::-1], num_disp)[:, ::-1]
     both = (left >= 0) & (right >= 0)
     fill = jnp.where(both, jnp.minimum(left, right), jnp.maximum(left, right))
     return jnp.where((disp < 0) & (fill >= 0), fill, disp)

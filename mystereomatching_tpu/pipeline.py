@@ -25,9 +25,20 @@ from mystereomatching_tpu.ops import wta as wta_ops
 
 
 def to_gray(img: jnp.ndarray) -> jnp.ndarray:
-    """OpenCV-style RGB->gray with round-to-nearest (cvtColor weights)."""
-    w = jnp.asarray([0.299, 0.587, 0.114], jnp.float32)
-    return jnp.round(img.astype(jnp.float32) @ w)
+    """RGB->gray exactly as the reference consumes it.
+
+    The reference loads gray via ``cv::imread(path, 0)`` (main_.cpp:122),
+    which decodes through libpng's rgb_to_gray: BT.601 weights floored to
+    15-bit fixed point as (9797*R + 19234*G + 3737*B) >> 15 (libpng derives
+    each coefficient as floor(w * 32768) with the blue weight absorbing the
+    remainder). Verified bit-exact against imread on all refbuild scenes;
+    using cvtColor-style rounding instead flips ~50% of pixels by 1 gray
+    level and cascades into census-bit/grad divergence vs the reference.
+    """
+    r = img[..., 0].astype(jnp.int32)
+    g = img[..., 1].astype(jnp.int32)
+    b = img[..., 2].astype(jnp.int32)
+    return ((9797 * r + 19234 * g + 3737 * b) >> 15).astype(jnp.float32)
 
 
 def _needs_arms_for_cost(cfg: MatchConfig) -> bool:
@@ -203,7 +214,7 @@ def refine(d_left, d_right, vol_left, left, arms0, cfg: MatchConfig):
         if cfg.bg_ipol_kitti:
             d = refine_ops.interpolate_background_kitti(d, cfg.ipol_threshold)
         else:
-            d = refine_ops.bg_interpolation(d)
+            d = refine_ops.bg_interpolation(d, cfg.num_disp)
     if cfg.do_wm:
         d = refine_ops.weighted_median(d, left, lrc_fail, cfg.num_disp,
                                        cfg.wm_win, cfg.wm_sigma_c, cfg.wm_sigma_s)

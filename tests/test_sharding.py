@@ -8,6 +8,8 @@ single-device result at disparity level.
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.sharding
+
 
 def _small_cfg():
     from mystereomatching_tpu.config import default_config
