@@ -33,6 +33,8 @@ COST_METHODS = (
     "ad_census",   # exp-fused AD+census                 (cpp:5250-5277)
     "ad_census_grad",   # 3-way exp fusion               (cpp:917-943)
     "ad_census_zncc",   # AD+census+ZNCC                 (cpp:5296-5307, 3844-3894)
+    "qx_ad_grad",  # NL standalone color+gradient cost   (NL/qx_nonlocal_cost_aggregation.cpp:190-218)
+    "qx_census",   # NL 80-bit 9x9 wraparound census     (NL/qx_nonlocal_cost_aggregation.cpp:110-189)
 )
 
 AGG_METHODS = (
@@ -126,6 +128,11 @@ class MatchConfig:
     # --- NL tree filter -----------------------------------------------------
     nl_sigma: float = 0.1              # NLCCA sigma (NL/NLCCA.cpp:33)
     nl_tree_host: bool = False         # hybrid: host-C++ Kruskal MST build
+    nl_post_process: bool = False      # qx non-local post-processing flow
+    #   (disparity(..., true), NL/qx_nonlocal_cost_aggregation.cpp:72-109):
+    #   L/R WTA of the same tree-filtered volume, exact-agreement occlusion
+    #   detect, |d-d_hat| rebuild, sigma/2 re-filter, 5x5 ctmf medians.
+    #   Replaces the optimize/refine stages when aggregation == "nl".
                                        # (pure_callback; exact reference tie
                                        # order), device tree filter
 

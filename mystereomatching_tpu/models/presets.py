@@ -78,6 +78,31 @@ def _baseline4(max_disp: int = 59, **kw) -> MatchConfig:
     return MatchConfig(max_disp=max_disp, **base).validate()
 
 
+@register("nl_post")
+def _nl_post(max_disp: int = 59, **kw) -> MatchConfig:
+    """The standalone qx NL pipeline WITH non-local post-processing
+    (qx_nonlocal_cost_aggregation::disparity(..., true), NL/qx_nonlocal_
+    cost_aggregation.cpp:72-109): color+gradient cost, left+right MST tree
+    filters, exact-agreement occlusion detect, |d-d_hat| rebuild, sigma/2
+    re-filter, 5x5 ctmf medians between stages."""
+    base = dict(cost="qx_ad_grad", aggregation="nl", optimization="wta",
+                nl_post_process=True, compute_both_volumes=False,
+                do_refine=False)
+    base.update(kw)
+    return MatchConfig(max_disp=max_disp, **base).validate()
+
+
+@register("nl_census_post")
+def _nl_census_post(max_disp: int = 59, **kw) -> MatchConfig:
+    """Same flow with the NL path's 80-bit 9x9 wraparound census cost
+    (my_matching_cost_from_cencus, cpp:110-189, the USE_CENCUS alternative)."""
+    base = dict(cost="qx_census", aggregation="nl", optimization="wta",
+                nl_post_process=True, compute_both_volumes=False,
+                do_refine=False)
+    base.update(kw)
+    return MatchConfig(max_disp=max_disp, **base).validate()
+
+
 @register("fullres_occfill")
 def _baseline5(max_disp: int = 255, **kw) -> MatchConfig:
     """BASELINE.json config 5: full-res D<=256 with occlusion fill +

@@ -119,6 +119,29 @@ def _census_bits_ncsur(gray, rv, ru):
     return bits
 
 
+def census_code_qx80(rgb: jnp.ndarray) -> jnp.ndarray:
+    """The NL path's 80-bit census code (my_matching_cost_from_cencus,
+    NL/qx_nonlocal_cost_aggregation.cpp:110-189): 9x9 window minus center,
+    bit = center > neighbor, and — its signature quirk — WRAPAROUND border
+    indexing ((y+wy+h)%h / (x+wx+w)%w), which maps directly onto jnp.roll.
+
+    Gray conversion reproduces the reference's channel-order bug: imread
+    gives BGR, cvtMatQX copies bytes verbatim, then cvtColor(CV_RGB2GRAY)
+    applies the R weight to the B channel. With RGB input here that means
+    gray = (9798*B + 19235*G + 3735*R + 2^14) >> 15 (OpenCV's 15-bit fixed
+    point — verified bit-exact against cvtColor on the refbuild scenes).
+    rgb: [H,W,3] RGB. Returns [3, H, W] uint32 (80 bits packed).
+    """
+    r = rgb[..., 0].astype(jnp.int32)
+    g = rgb[..., 1].astype(jnp.int32)
+    b = rgb[..., 2].astype(jnp.int32)
+    gray = (9798 * b + 19235 * g + 3735 * r + (1 << 14)) >> 15
+    bits = [gray > jnp.roll(gray, (-wy, -wx), (0, 1))
+            for wy in range(-4, 5) for wx in range(-4, 5)
+            if not (wy == 0 and wx == 0)]
+    return _pack_bits(bits)
+
+
 def _pack_bits(bits) -> jnp.ndarray:
     """Pack a list of [H,W] bool planes into [n_words, H, W] uint32."""
     n = len(bits)

@@ -313,6 +313,54 @@ def fix_weight_fuse(vm0, w0, vm1, w1) -> jnp.ndarray:
 # Dispatcher
 # ---------------------------------------------------------------------------
 
+def _qx_gray(img: jnp.ndarray) -> jnp.ndarray:
+    """qx rgb_2_gray (NL/qx_basic.h:72) with the NL path's channel-order
+    quirk: the runtime feeds imread's BGR bytes, so the 0.299 weight lands
+    on BLUE. img: [H,W,3] RGB.
+
+    uchar(0.299*b+0.587*g+0.114*r+0.5) is emulated as the exact integer
+    (299b+587g+114r+500)//1000 (fits f32/int32: max 255500 < 2^24).
+    Exhaustively verified vs C-double semantics over all 2^24 triples:
+    identical EXCEPT exactly when 299b+587g+114r+500 ≡ 0 (mod 1000)
+    (16782 triples, 0.1% of the space), where the double sum sometimes
+    lands an ulp below the integer and floors 1 lower (3464 of those).
+    Golden tests budget the resulting rare WTA flips."""
+    r = img[..., 0].astype(jnp.int32)
+    g = img[..., 1].astype(jnp.int32)
+    b = img[..., 2].astype(jnp.int32)
+    return ((299 * b + 587 * g + 114 * r + 500) // 1000).astype(jnp.float32)
+
+
+def _qx_gradient(gray: jnp.ndarray) -> jnp.ndarray:
+    """compute_gradient (NL/qx_nonlocal_cost_aggregation.cpp:219-240):
+    0.5*(g[x+1]-g[x-1]) + 127.5 interior; FULL one-sided diff (not halved)
+    at both borders."""
+    interior = 0.5 * (gray[:, 2:] - gray[:, :-2]) + 127.5
+    first = (gray[:, 1:2] - gray[:, 0:1]) + 127.5
+    last = (gray[:, -1:] - gray[:, -2:-1]) + 127.5
+    return jnp.concatenate([first, interior, last], axis=1)
+
+
+def qx_ad_grad_volume(left: jnp.ndarray, right: jnp.ndarray,
+                      num_disp: int) -> jnp.ndarray:
+    """The NL standalone cost (matching_cost_from_color_and_gradient,
+    NL/qx_nonlocal_cost_aggregation.cpp:190-218): mean truncated AD over
+    color (max 7, weight 0.11) + truncated gradient diff (max 2, weight
+    0.89). The shifted right image replicates COLUMN 0 past the border
+    (cpp:202-206) — shifted_stack's clamp gives exactly that. Left volume
+    only; the reference derives the right one via qx_stereo_flip_corr_vol
+    (ops/nl.flip_corr_vol)."""
+    gl, gr = _qx_gray(left), _qx_gray(right)
+    grad_l, grad_r = _qx_gradient(gl), _qx_gradient(gr)
+    rs = shifted_stack(jnp.moveaxis(right, -1, 0), num_disp, 0)  # [D,3,H,W]
+    color = jnp.minimum(
+        jnp.sum(jnp.abs(jnp.moveaxis(left, -1, 0)[None] - rs), axis=1) / 3.0,
+        7.0)
+    gs = shifted_stack(grad_r, num_disp, 0)
+    grad = jnp.minimum(jnp.abs(grad_l[None] - gs), 2.0)
+    return 0.11 * color + 0.89 * grad
+
+
 def compute_cost_volume(
     left: jnp.ndarray,
     right: jnp.ndarray,
@@ -390,6 +438,16 @@ def compute_cost_volume(
         advm = ad_volume(left, right, d, lor, trunc=1e9)
         zvm = zncc_volume(gray_l, gray_r, d, lor, cfg.zncc_win_rv, cfg.zncc_win_ru)
         return exp_fuse3(census_vm(), zvm, advm, cfg.lam_cen, 1.0, 10.0)
+    if method == "qx_ad_grad":
+        if lor != 0:
+            raise NotImplementedError(
+                "qx_ad_grad is left-volume only; the NL flow derives the "
+                "right volume via ops/nl.flip_corr_vol like the reference")
+        return qx_ad_grad_volume(left, right, d)
+    if method == "qx_census":
+        cl = census_ops.census_code_qx80(left)
+        cr = census_ops.census_code_qx80(right)
+        return census_ops.hamming_volume(cl, cr, d, lor, 80)
     raise ValueError(f"unknown cost method {method!r}")
 
 

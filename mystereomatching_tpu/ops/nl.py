@@ -66,6 +66,80 @@ def nl_aggregate(vol: jnp.ndarray, image: jnp.ndarray, sigma: float = 0.1,
     return filt.T.reshape(d_, h, w)
 
 
+def flip_corr_vol(vol: jnp.ndarray) -> jnp.ndarray:
+    """Right-view volume with the reference's edge quirk
+    (qx_stereo_flip_corr_vol, NL/qx_basic.cpp:577-588): vmR[d,y,x] =
+    vmL[d,y,x+d] while x+d < w; past the border it replicates the previous
+    disparity's value, which collapses to the largest valid d' = w-1-x."""
+    from mystereomatching_tpu.ops.volume import flip_volume_lr
+
+    d_, h, w = vol.shape
+    vr = flip_volume_lr(vol)                           # wraps past border
+    d_idx = jnp.arange(d_, dtype=jnp.int32)[:, None, None]
+    d_max = (w - 1) - jnp.arange(w, dtype=jnp.int32)[None, None, :]
+    d_eff = jnp.minimum(d_idx, d_max)                  # [D,1,W]
+    return jnp.take_along_axis(vr, jnp.broadcast_to(d_eff, (d_, h, w)), 0)
+
+
+def detect_occlusion_lr(d_left: jnp.ndarray, d_right: jnp.ndarray) -> jnp.ndarray:
+    """Occlusion mask (True = occluded), qx_detect_occlusion_left_right
+    (NL/qx_basic.cpp:603-633): a pixel survives only when d > 0, x-d >= 0
+    and the right map at x-d agrees EXACTLY (|d - dR| >= 1 rejects)."""
+    h, w = d_left.shape
+    x = jnp.arange(w, dtype=jnp.int32)[None, :]
+    xr = x - d_left
+    dr = jnp.take_along_axis(d_right, jnp.clip(xr, 0, w - 1), axis=1)
+    return (xr < 0) | (d_left == 0) | (d_left != dr)
+
+
+def nl_disparity(vol: jnp.ndarray, left: jnp.ndarray, right: jnp.ndarray,
+                 sigma: float = 0.1, post_process: bool = True,
+                 trees=None, median_radius: int = 2):
+    """The standalone NL disparity flow, qx_nonlocal_cost_aggregation::
+    disparity(..., use_nonlocal_post_processing) (NL/qx_nonlocal_cost_
+    aggregation.cpp:72-109), device-resident end to end:
+
+      1. left tree-filter of the raw volume -> WTA -> 5x5 ctmf median
+      2. right tree-filter of the flipped volume -> WTA -> median
+      3. exact-agreement occlusion mask (qx_basic.cpp:603)
+      4. rebuilt volume |d_hat - d| on non-occluded pixels (zeros spread
+         neighbor evidence into occluded ones)
+      5. LEFT tree re-filter at sigma/2 (m_tf.update_table(sigma/2))
+         -> WTA -> median
+
+    The qx filter never normalizes (combine_tree qx_tree_filter.cpp:43:
+    "every slice will have the same weight"), so neither does this path.
+    ``trees``: optional (tree_left, tree_right) precomputed (host hybrid).
+    Returns (disparity int32 [H,W], d_left_raw) — d_left_raw is the
+    pre-post-processing map (stage 1), the reference's non-post output.
+    """
+    from mystereomatching_tpu.ops.median import median_small
+
+    d_, h, w = vol.shape
+    if trees is None:
+        tree_l = build_tree(left)
+        tree_r = build_tree(right)
+    else:
+        tree_l, tree_r = trees
+    k = 2 * median_radius + 1
+
+    def filt_wta(v, tree, sig):
+        f = tree_filter(tree, v.reshape(d_, h * w).T, sig)
+        d = jnp.argmin(f.T.reshape(d_, h, w), axis=0).astype(jnp.int32)
+        return median_small(d, k)
+
+    d_l = filt_wta(vol, tree_l, sigma)
+    if not post_process:
+        return d_l, d_l
+    d_r = filt_wta(flip_corr_vol(vol), tree_r, sigma)
+    occ = detect_occlusion_lr(d_l, d_r)
+    dd = jnp.abs(d_l[None].astype(jnp.float32)
+                 - jnp.arange(d_, dtype=jnp.float32)[:, None, None])
+    vol2 = jnp.where(occ[None], 0.0, dd)
+    d_final = filt_wta(vol2, tree_l, sigma / 2)
+    return d_final, d_l
+
+
 def gfnl_aggregate(vol: jnp.ndarray, image: jnp.ndarray, gray: jnp.ndarray,
                    cfg, tree: RootedTree = None) -> jnp.ndarray:
     """GFNL (cpp:4421-4490): blend GF and NL volumes by local image

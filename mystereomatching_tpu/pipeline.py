@@ -240,6 +240,24 @@ def match_pair(left: jnp.ndarray, right: jnp.ndarray, cfg: MatchConfig,
     """
     left = left.astype(jnp.float32)
     right = right.astype(jnp.float32)
+    if cfg.aggregation == "nl" and cfg.nl_post_process:
+        # the standalone qx NL flow (disparity(..., true), NL/qx_nonlocal_
+        # cost_aggregation.cpp:72-109) owns optimization + refinement:
+        # filter raw volume with BOTH trees, occlusion-detect, rebuild,
+        # re-filter at sigma/2 — golden-tested in tests/test_nl_golden.py
+        from mystereomatching_tpu.ops import nl as nl_ops
+        from mystereomatching_tpu.ops.mst import RootedTree
+
+        gl, gr = to_gray(left), to_gray(right)
+        vol = cost_ops.compute_cost_volume(left, right, gl, gr, cfg, 0)
+        trees = None
+        if host_trees is not None and 0 in host_trees and 1 in host_trees:
+            trees = tuple(
+                RootedTree(parent=host_trees[i][0], weight=host_trees[i][1],
+                           shape=left.shape[:2]) for i in (0, 1))
+        d, d_raw = nl_ops.nl_disparity(vol, left, right, cfg.nl_sigma,
+                                       post_process=True, trees=trees)
+        return {"disparity": d.astype(jnp.float32), "disp_left_raw": d_raw}
     vols, arms_pair = compute_volumes(left, right, cfg, host_trees)
     if cfg.pyramid_levels > 1:
         # cross-scale aggregation (SolveAll, cpp:2142-2208): build coarser
@@ -288,8 +306,9 @@ class StereoPipeline:
 
         from mystereomatching_tpu.ops.nl import build_tree_host
 
-        n_imgs = 2 if (self.cfg.compute_both_volumes
-                       and self.cfg.do_lr_consis) else 1
+        n_imgs = 2 if (self.cfg.nl_post_process
+                       or (self.cfg.compute_both_volumes
+                           and self.cfg.do_lr_consis)) else 1
         trees = {}
         for lor, img in ((0, left), (1, right))[:n_imgs]:
             t = build_tree_host(np.asarray(img))
