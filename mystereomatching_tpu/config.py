@@ -35,6 +35,7 @@ COST_METHODS = (
     "ad_census_zncc",   # AD+census+ZNCC                 (cpp:5296-5307, 3844-3894)
     "qx_ad_grad",  # NL standalone color+gradient cost   (NL/qx_nonlocal_cost_aggregation.cpp:190-218)
     "qx_census",   # NL 80-bit 9x9 wraparound census     (NL/qx_nonlocal_cost_aggregation.cpp:110-189)
+    "census_from2",  # two-window census blend           (gen_cenVM_XOR_From2Code(_tem), h:983-1142)
 )
 
 AGG_METHODS = (
@@ -99,6 +100,11 @@ class MatchConfig:
     census_ru: int = 4                 # census window half-width W_U
     census_func: int = 3               # censusFunc: 3 = classic + 8 surround pairs (h:244)
     census_trunc_ratio: float = 1.0    # truncRatio (cpp:36 censusCal arg)
+    census_rv2: int = 5                # second code window for census_from2
+    census_ru2: int = 5                #   (the {5,5} census_W[1], cpp:817)
+    census_from2_blend: str = "grad"   # "grad": b*c0+a*c1, a=1-exp(-0.1/(g+1))
+    #   (the _tem variant's active blend, h:1115-1116); "first": cost[0]
+    #   only (the non-tem variant's active line, h:1073)
     bt_trunc: float = 20.0             # BT truncation (cpp:90-268)
     zncc_win_rv: int = 3               # ZNCC window half sizes (W_V/W_U, h:205-206)
     zncc_win_ru: int = 4

@@ -361,6 +361,54 @@ def qx_ad_grad_volume(left: jnp.ndarray, right: jnp.ndarray,
     return 0.11 * color + 0.89 * grad
 
 
+def _census_code_fn(func: int, rv: int, ru: int):
+    """censusFunc (h:244) -> (code builder, code length in bits):
+    0 classic, 1/2 neighbor-chain variants, 3 classic+8-surround (default),
+    4 symmetric, 5 mean-census."""
+    win = (2 * rv + 1) * (2 * ru + 1)
+    return {
+        0: (lambda g: census_ops.census_code_classic(g, rv, ru), win),
+        1: (lambda g: census_ops.census_code_neighbor(g, rv, ru, 1), win),
+        2: (lambda g: census_ops.census_code_neighbor(g, rv, ru, 2), win),
+        3: (lambda g: census_ops.census_code_ncsur(g, rv, ru), win + 8),
+        4: (lambda g: census_ops.census_code_symmetric(g, rv, ru), win // 2),
+        5: (lambda g: census_ops.census_code_mean(g, rv, ru), win),
+    }[func]
+
+
+def census_from2_volume(gray_l: jnp.ndarray, gray_r: jnp.ndarray,
+                        cfg: MatchConfig, lor: int,
+                        disps: jnp.ndarray = None) -> jnp.ndarray:
+    """Two-window census blend (gen_cenVM_XOR_From2Code(_tem), h:983-1142).
+
+    Both windows' codes use the selected censusFunc builder (the reference
+    dispatcher builds every window with one variant, cpp:856-871). Only the
+    reference's ACTIVE lines are reproduced — the variance maps and
+    arm-shortest weights it computes feed commented-out alternatives:
+      * blend="first" (non-tem, active line h:1073): truncated+normalized
+        Hamming cost of the FIRST window only;
+      * blend="grad" (_tem, active line h:1115-1116): b*c0 + a*c1 with
+        per-pixel a = 1-exp(-0.1/(g+1)), g the reference image's calGrad
+        x-gradient (cpp:271-318); costs normalized by code length with NO
+        truncation (h:1132).
+    Off-image entries take 1.0 in both variants (h:1057, h:1124).
+    """
+    d = cfg.num_disp
+    fn0, n0 = _census_code_fn(cfg.census_func, cfg.census_rv, cfg.census_ru)
+    if cfg.census_from2_blend == "first":
+        return census_ops.hamming_volume(
+            fn0(gray_l), fn0(gray_r), d, lor, n0, cfg.census_trunc_ratio,
+            normalize=True, disps=disps)
+    fn1, n1 = _census_code_fn(cfg.census_func, cfg.census_rv2, cfg.census_ru2)
+    c0 = census_ops.hamming_volume(fn0(gray_l), fn0(gray_r), d, lor, n0,
+                                   1.0, normalize=True, disps=disps)
+    c1 = census_ops.hamming_volume(fn1(gray_l), fn1(gray_r), d, lor, n1,
+                                   1.0, normalize=True, disps=disps)
+    g = central_gradient(gray_l if lor == 0 else gray_r, 1)
+    a = 1.0 - jnp.exp(-0.1 / (g + 1.0))
+    return (1.0 - a)[None] * c0 + a[None] * c1
+
+
 def compute_cost_volume(
     left: jnp.ndarray,
     right: jnp.ndarray,
@@ -380,18 +428,8 @@ def compute_cost_volume(
     method = cfg.cost
 
     def census_vm():
-        # censusFunc (h:244): 0 classic, 1/2 neighbor-chain variants,
-        # 3 classic+8-surround (default), 4 symmetric, 5 mean-census
-        rv_, ru_ = cfg.census_rv, cfg.census_ru
-        win = (2 * rv_ + 1) * (2 * ru_ + 1)
-        code_fn, n_bits = {
-            0: (lambda g: census_ops.census_code_classic(g, rv_, ru_), win),
-            1: (lambda g: census_ops.census_code_neighbor(g, rv_, ru_, 1), win),
-            2: (lambda g: census_ops.census_code_neighbor(g, rv_, ru_, 2), win),
-            3: (lambda g: census_ops.census_code_ncsur(g, rv_, ru_), win + 8),
-            4: (lambda g: census_ops.census_code_symmetric(g, rv_, ru_), win // 2),
-            5: (lambda g: census_ops.census_code_mean(g, rv_, ru_), win),
-        }[cfg.census_func]
+        code_fn, n_bits = _census_code_fn(cfg.census_func, cfg.census_rv,
+                                          cfg.census_ru)
         cl = code_fn(gray_l)
         cr = code_fn(gray_r)
         return census_ops.hamming_volume(
@@ -413,6 +451,8 @@ def compute_cost_volume(
         return grad_vm(cfg.grad_trunc)
     if method == "census":
         return census_vm()
+    if method == "census_from2":
+        return census_from2_volume(gray_l, gray_r, cfg, lor)
     if method == "zncc":
         return zncc_volume(gray_l, gray_r, d, lor, cfg.zncc_win_rv, cfg.zncc_win_ru)
     if method == "ssd":
@@ -471,17 +511,9 @@ def block_cost_builder(
     method = cfg.cost
 
     census_pre = None
-    if "census" in method:
-        rv_, ru_ = cfg.census_rv, cfg.census_ru
-        win = (2 * rv_ + 1) * (2 * ru_ + 1)
-        code_fn, n_bits = {
-            0: (lambda g: census_ops.census_code_classic(g, rv_, ru_), win),
-            1: (lambda g: census_ops.census_code_neighbor(g, rv_, ru_, 1), win),
-            2: (lambda g: census_ops.census_code_neighbor(g, rv_, ru_, 2), win),
-            3: (lambda g: census_ops.census_code_ncsur(g, rv_, ru_), win + 8),
-            4: (lambda g: census_ops.census_code_symmetric(g, rv_, ru_), win // 2),
-            5: (lambda g: census_ops.census_code_mean(g, rv_, ru_), win),
-        }[cfg.census_func]
+    if "census" in method and method != "census_from2":
+        code_fn, n_bits = _census_code_fn(cfg.census_func, cfg.census_rv,
+                                          cfg.census_ru)
         census_pre = (code_fn(gray_l), code_fn(gray_r), n_bits)
 
     def census_vm(ds):
@@ -505,6 +537,8 @@ def block_cost_builder(
             return grad_vm(ds, cfg.grad_trunc)
         if method == "census":
             return census_vm(ds)
+        if method == "census_from2":
+            return census_from2_volume(gray_l, gray_r, cfg, lor, disps=ds)
         if method == "census_grad":
             return exp_fuse2(census_vm(ds), grad_vm(ds, cfg.grad_trunc),
                              cfg.lam_cen, cfg.lam_g)

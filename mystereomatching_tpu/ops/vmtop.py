@@ -161,6 +161,59 @@ def disp_from_top_method1(cand_d: jnp.ndarray, count: jnp.ndarray) -> jnp.ndarra
     return jnp.concatenate([first[None], rest], 0).T
 
 
+def disp_from_top_method2(cand_d: jnp.ndarray, count: jnp.ndarray,
+                          left_image: jnp.ndarray) -> jnp.ndarray:
+    """Method 2 (cpp:1819-1883): along each row pick
+      d0 = candidate closest to the previous DECISION d(u-1)  (|dif| < 2),
+      d1 = candidate closest to the NEXT pixel's top-1 candidate (|dif| < 2,
+           u < w-1 only);
+    one of each found -> that one; neither -> candidate 0; both -> whichever
+    side is more color-similar (sum-abs RGB diff left vs right neighbor,
+    ties to the left/d0). d1 and the color key don't depend on decisions, so
+    they vectorize; only the d0 recurrence rides the lax.scan."""
+    m, h, w = cand_d.shape
+    valid_k = jnp.arange(m)[:, None, None] < count[None]
+
+    # d1 per pixel (vectorized): closest candidate to cand0 at u+1
+    nxt = jnp.concatenate([cand_d[0, :, 1:], jnp.full((h, 1), -10000,
+                                                      cand_d.dtype)], axis=1)
+    dif1 = jnp.where(valid_k, jnp.abs(cand_d - nxt[None]), 10000)
+    k1 = jnp.argmin(dif1, axis=0)                    # first min wins ties
+    d1_val = jnp.take_along_axis(cand_d, k1[None], 0)[0]
+    d1_ok = (jnp.take_along_axis(dif1, k1[None], 0)[0] < 2) & \
+        (jnp.arange(w)[None, :] < w - 1)
+
+    # color keys: prefer d0 when sum|c(u)-c(u-1)| <= sum|c(u)-c(u+1)|
+    img = left_image.astype(jnp.int32)
+    cl = jnp.sum(jnp.abs(img[:, 1:] - img[:, :-1]), axis=-1)
+    cdif_pre = jnp.concatenate([jnp.zeros((h, 1), jnp.int32), cl], axis=1)
+    cdif_aft = jnp.concatenate([cl, jnp.zeros((h, 1), jnp.int32)], axis=1)
+    prefer_d0 = cdif_pre <= cdif_aft
+
+    cd = jnp.moveaxis(cand_d, 2, 0)                  # [W, M, H]
+    vk = jnp.moveaxis(valid_k, 2, 0)                 # [W, M, H]
+
+    def step(prev, inp):
+        cands, vkc, d1v, d1ok, pref, n = inp
+        dif0 = jnp.where(vkc, jnp.abs(cands - prev[None]), 10000)
+        kk = jnp.argmin(dif0, axis=0)
+        d0v = jnp.take_along_axis(cands, kk[None], 0)[0]
+        d0ok = jnp.take_along_axis(dif0, kk[None], 0)[0] < 2
+        pick = jnp.where(
+            d0ok & ~d1ok, d0v,
+            jnp.where(~d0ok & d1ok, d1v,
+                      jnp.where(d0ok & d1ok,
+                                jnp.where(pref, d0v, d1v), cands[0])))
+        out = jnp.where(n == 1, cands[0], pick)
+        return out, out
+
+    first = cd[0, 0]
+    _, rest = lax.scan(step, first, (cd[1:], vk[1:], d1_val.T[1:],
+                                     d1_ok.T[1:], prefer_d0.T[1:],
+                                     count.T[1:]))
+    return jnp.concatenate([first[None], rest], 0).T
+
+
 def disp_from_top(vol: jnp.ndarray, left_image: jnp.ndarray, cfg: MatchConfig,
                   method: int = 0) -> jnp.ndarray:
     """Full vmTop decision (dispOptimize cpp:1112-1126)."""
@@ -170,4 +223,6 @@ def disp_from_top(vol: jnp.ndarray, left_image: jnp.ndarray, cfg: MatchConfig,
         return disp_from_top_method0(cand_d, cand_c, count, cfg)
     if method == 1:
         return disp_from_top_method1(cand_d, count)
+    if method == 2:
+        return disp_from_top_method2(cand_d, count, left_image)
     raise ValueError(f"vmTop method {method} not supported")
