@@ -182,6 +182,28 @@ class MatchConfig:
                                        # division `hist/validNum >= ratio`
                                        # (cpp:7266) which makes the ratio test
                                        # "all valid pixels agree"
+    reg_vote_type: int = 0             # regVote_type (h:309): 0 HV vote,
+                                       # 1 tilted (cal_histogram_for_Tile),
+                                       # 2 compareArmL per-pixel gate
+                                       # (regionVoteCore cpp:6925-6947)
+    rv_use_combine_bg: bool = False    # run RV_combine_BG (cpp:7146-7216,
+                                       # the cpp:1408 commented alternative)
+                                       # instead of regionVote_my in the RV
+                                       # iterations
+    interpolate_type: int = 0          # interpolateType (h:316): the
+                                       # RV_combine_BG policy (0 RV, 1 BG,
+                                       # 2 OCC->BG/MIS->RV, 3 combined min)
+    bg_ipl_depth: int = 1000           # bgIplDepth (h:311)
+    bg_ip_dir: int = 2                 # bgIpDir (h:312): 2 = horizontal
+                                       # core; 4 = color-checked 4-direction
+                                       # core (backgroundInterpolateCore_)
+    do_rv_whole_image: bool = False    # regionVoteForWholeDispImg
+                                       # (cpp:6949-6962; commented at
+                                       # cpp:1500) after the final median
+    do_fill_surrounding: bool = False  # fillSurronding (cpp:2214-2260):
+                                       # invalidate the census-window border
+                                       # band before LRC (SSD own-WTA flow,
+                                       # h:490)
     proper_ipol_iters: int = 2         # refine() runs PI region_vote_nums times (cpp:1441)
     pi_search_depth: int = 20          # properIpol searchDepth (cpp:7401)
     pkr_thresh: float = 0.1            # calPKR (cpp:4087)

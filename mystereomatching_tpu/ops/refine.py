@@ -166,6 +166,241 @@ def region_vote(
     return jnp.where(accept, disp_most, disp)
 
 
+def _vote_result(hist, vcount, s_thres, h_ratio):
+    """Shared tail of cal_histogram_for_HV/Tile (cpp:6853-6861, 6902-6910):
+    -1 unless validNum > s_thres and ratioMost > h_ratio (both strict);
+    argmax ties go to the smaller disparity."""
+    disp_most = jnp.argmax(hist, 0).astype(jnp.int32)
+    n_most = jnp.max(hist, 0)
+    ok = (vcount > s_thres) & (
+        n_most.astype(jnp.float32) > jnp.float32(h_ratio)
+        * vcount.astype(jnp.float32))
+    return jnp.where(ok, disp_most, -1)
+
+
+def _vote_stack(disp, num_disp):
+    """[D+1,H,W] int32: per-disparity one-hot planes + a valid-count plane,
+    so both vote aggregations run as one fused arm-bounded pass."""
+    valid = disp >= 0
+    onehot = (disp[None] == jnp.arange(num_disp, dtype=disp.dtype)[:, None, None])
+    onehot = (onehot & valid[None]).astype(jnp.int32)
+    return jnp.concatenate([onehot, valid[None].astype(jnp.int32)], axis=0)
+
+
+def vote_hv(disp: jnp.ndarray, arms: jnp.ndarray, num_disp: int,
+            s_thres: int, h_ratio: float, max_arm: int = 34) -> jnp.ndarray:
+    """cal_histogram_for_HV (cpp:6830-6862): histogram vote over the HV
+    cross support (per-row horizontal arms sampled at the anchor column,
+    rows spanned by the anchor's vertical arms). Returns the per-pixel vote
+    (-1 where rejected) for EVERY pixel; callers mask."""
+    stacked = _vote_stack(disp, num_disp)
+    stacked = arm_bounded_sum(stacked, arms[0][None], arms[1][None], axis=2,
+                              max_arm=max_arm)
+    stacked = arm_bounded_sum(stacked, arms[2][None], arms[3][None], axis=1,
+                              max_arm=max_arm)
+    return _vote_result(stacked[:num_disp], stacked[num_disp],
+                        s_thres, h_ratio)
+
+
+def vote_tilt(disp: jnp.ndarray, arms_tilt: jnp.ndarray, num_disp: int,
+              s_thres: int, h_ratio: float, max_arm: int = 34) -> jnp.ndarray:
+    """cal_histogram_for_Tile (cpp:6864-6911): the 45-degree vote. Branch
+    pass along (1,1) with each pixel's own LT/RD arms (tileCrossL[0]/[1]),
+    then main pass along (1,-1) with the anchor's RT/LD arms ([2]/[3]).
+    The reference's two-point anchor extension is dead code (`point < 1`,
+    cpp:6874) — only the anchor votes, as here."""
+    from mystereomatching_tpu.ops.arms import arm_bounded_sum_dir
+
+    stacked = _vote_stack(disp, num_disp)
+    stacked = arm_bounded_sum_dir(stacked, arms_tilt[0][None],
+                                  arms_tilt[1][None], (1, 1), max_arm)
+    stacked = arm_bounded_sum_dir(stacked, arms_tilt[2][None],
+                                  arms_tilt[3][None], (1, -1), max_arm)
+    return _vote_result(stacked[:num_disp], stacked[num_disp],
+                        s_thres, h_ratio)
+
+
+def region_vote_core(disp: jnp.ndarray, arms: jnp.ndarray,
+                     arms_tilt: Optional[jnp.ndarray], num_disp: int,
+                     s_thres: int, h_ratio: float, reg_vote_type: int = 0,
+                     max_arm: int = 34) -> jnp.ndarray:
+    """regionVoteCore (cpp:6925-6947) with the regVote_type dispatch the
+    reference keeps commented out (cpp:6927-6941): 0 = HV vote, 1 = tilted
+    vote, 2 = per-pixel gate by compareArmL (cpp:6913-6923: HV arm total
+    strictly longer -> HV, else tilted)."""
+    if reg_vote_type == 0:
+        return vote_hv(disp, arms, num_disp, s_thres, h_ratio, max_arm)
+    if reg_vote_type == 1:
+        return vote_tilt(disp, arms_tilt, num_disp, s_thres, h_ratio, max_arm)
+    hv = vote_hv(disp, arms, num_disp, s_thres, h_ratio, max_arm)
+    tl = vote_tilt(disp, arms_tilt, num_disp, s_thres, h_ratio, max_arm)
+    len_hv = jnp.sum(arms[:4].astype(jnp.int32), axis=0)
+    len_tl = jnp.sum(arms_tilt[:4].astype(jnp.int32), axis=0)
+    return jnp.where(len_hv > len_tl, hv, tl)
+
+
+def region_vote_whole_image(disp: jnp.ndarray, arms: jnp.ndarray,
+                            num_disp: int, max_arm: int = 34) -> jnp.ndarray:
+    """regionVoteForWholeDispImg (cpp:6949-6962): EVERY pixel is replaced by
+    its HV-region majority vote with thresholds (0, 0) — -1 where the
+    support has no valid pixel. The reference mutates the map in place
+    during its raster scan (later votes see earlier replacements); this
+    TPU version votes on a snapshot of the input, i.e. one parallel
+    Jacobi step of the same update."""
+    return vote_hv(disp, arms, num_disp, 0, 0.0, max_arm)
+
+
+def bg_fill_2dir(disp: jnp.ndarray, depth: int = 1000,
+                 num_disp: int = 1024):
+    """backgroundInterpolateCore (cpp:7010-7044): first valid disparity to
+    the right (vec[0]) and left (vec[1]) within ``depth`` steps; one found
+    -> that one, both -> the smaller (background). Returns (fill, n_found)
+    with fill -1 where neither side hits (the (int*)-result overload
+    cpp:6964-7008 returns exactly this pair for interpolateType 3)."""
+    w = disp.shape[1]
+    if depth >= w - 1:
+        right = _nearest_valid_left(disp[:, ::-1], num_disp)[:, ::-1]
+        left = _nearest_valid_left(disp, num_disp)
+    else:
+        right = jnp.full_like(disp, -1)
+        left = jnp.full_like(disp, -1)
+        for d in range(1, depth + 1):
+            r = _shift2d(disp, 0, d, -1)
+            l = _shift2d(disp, 0, -d, -1)
+            right = jnp.where((right < 0) & (r >= 0), r, right)
+            left = jnp.where((left < 0) & (l >= 0), l, left)
+    n_found = (left >= 0).astype(jnp.int32) + (right >= 0).astype(jnp.int32)
+    both = (left >= 0) & (right >= 0)
+    fill = jnp.where(both, jnp.minimum(left, right),
+                     jnp.maximum(left, right))
+    return fill, n_found
+
+
+def _nearest_valid_with_index(disp: jnp.ndarray, axis: int, reverse: bool):
+    """(value, source index) of the nearest valid pixel strictly before
+    self along axis (after optional flip); (-1, -1) if none."""
+    x = disp if not reverse else jnp.flip(disp, axis)
+    n = x.shape[axis]
+    pos = jnp.arange(n, dtype=jnp.int32).reshape(
+        [-1 if a == axis else 1 for a in range(x.ndim)])
+    idx = jnp.where(x >= 0, pos, -1)
+    # exclusive-of-self: shift the index plane one step forward
+    idx = _shift2d(idx, -1 if axis == 0 else 0, -1 if axis == 1 else 0, -1)
+    last = jax_cummax(jnp.broadcast_to(idx, x.shape), axis=axis)
+    val = jnp.take_along_axis(x, jnp.clip(last, 0, n - 1), axis=axis)
+    val = jnp.where(last >= 0, val, -1)
+    if reverse:
+        val = jnp.flip(val, axis)
+        last = jnp.flip(last, axis)
+        last = jnp.where(last >= 0, n - 1 - last, -1)
+    return val, last
+
+
+def bg_fill_4dir(disp: jnp.ndarray, image: jnp.ndarray,
+                 depth: int = 1000) -> jnp.ndarray:
+    """backgroundInterpolateCore_ (cpp:7045-7144): the 4-direction
+    color-checked background fill. Per direction (L, R, U, D) take the first
+    valid disparity along the ray within ``depth`` steps plus the
+    max-channel |color diff| between the anchor and that pixel (always on
+    the LEFT color image, cpp:7057). The winner is the direction with the
+    smallest disparity (ties to the earlier direction); if a vertical
+    direction wins but some horizontal candidate is strictly more
+    color-similar, the smaller-disparity horizontal candidate takes over
+    (cpp:7116-7141). securityNum is 1 in the reference, collapsing its
+    consecutive-agreement container to plain first-valid (cpp:7074-7100).
+    ``color_thre`` (cpp:7047) is declared but never used — omitted; the
+    reference never calls this overload (RV_combine_BG wires only the
+    2-direction core) — exposed here via bg_dirs=4."""
+    h, w = disp.shape
+    img = jnp.moveaxis(image.astype(jnp.float32), -1, 0)     # [C,H,W]
+    u_idx = jnp.broadcast_to(jnp.arange(w, dtype=jnp.int32)[None, :], (h, w))
+    v_idx = jnp.broadcast_to(jnp.arange(h, dtype=jnp.int32)[:, None], (h, w))
+
+    cands, cdifs = [], []
+    # reference order: 0 left, 1 right, 2 up, 3 down (dv/du cpp:7101-7102)
+    for axis, rev in ((1, False), (1, True), (0, False), (0, True)):
+        val, src = _nearest_valid_with_index(disp, axis, rev)
+        here = u_idx if axis == 1 else v_idx
+        dist = jnp.where(src >= 0, jnp.abs(here - src), jnp.int32(1 << 30))
+        ok = (val >= 0) & (dist <= depth)
+        srcc = jnp.clip(src, 0, (w if axis == 1 else h) - 1)
+        nc = jnp.take_along_axis(img, srcc[None], axis=axis + 1)
+        cd = jnp.max(jnp.abs(nc - img), axis=0)
+        cands.append(jnp.where(ok, val, -1))
+        cdifs.append(jnp.where(ok, cd, jnp.inf))
+    cand = jnp.stack(cands)                                   # [4,H,W]
+    cdif = jnp.stack(cdifs)
+
+    big = jnp.int32(10000)
+    cval = jnp.where(cand >= 0, cand, big)
+    j = jnp.argmin(cval, axis=0)                              # ties: L,R,U,D
+    j_val = jnp.take_along_axis(cand, j[None], 0)[0]
+    j_dif = jnp.take_along_axis(cdif, j[None], 0)[0]
+    z = jnp.argmin(cval[:2], axis=0)                          # best horizontal
+    z_val = jnp.take_along_axis(cand, z[None], 0)[0]
+    z_dif = jnp.take_along_axis(cdif, z[None], 0)[0]
+    swap = (j >= 2) & (z_val >= 0) & (z_dif < j_dif)
+    return jnp.where(swap, z_val, j_val)
+
+
+def rv_combine_bg(disp: jnp.ndarray, arms: jnp.ndarray,
+                  arms_tilt: Optional[jnp.ndarray], image: jnp.ndarray,
+                  num_disp: int, s_thres: int = 15, h_ratio: float = 0.4,
+                  interpolate_type: int = 0, reg_vote_type: int = 0,
+                  bg_depth: int = 1000, bg_dirs: int = 2,
+                  disp_occ: int = -32, disp_mis: int = -48,
+                  max_arm: int = 34) -> jnp.ndarray:
+    """RV_combine_BG (cpp:7146-7216): fill invalid pixels by the
+    interpolateType policy (h:316 comment):
+      0 = region vote only; 1 = background fill only;
+      2 = OCC -> background fill, MIS -> region vote;
+      3 = OCC -> min(region vote, background fill) when both hit (the
+          two-sided-min fill, cpp:7188-7200), MIS -> region vote.
+    Reads a snapshot and writes a clone like the reference (dp_res), so the
+    pass is naturally parallel. Sentinels other than OCC/MIS are left
+    unchanged under types 2/3 (the reference leaks the previous pixel's
+    dp_ into them — a read-of-stale-local bug we do not reproduce)."""
+    inval = disp < 0
+    rv = None
+    if interpolate_type in (0, 2, 3):
+        rv = region_vote_core(disp, arms, arms_tilt, num_disp, s_thres,
+                              h_ratio, reg_vote_type, max_arm)
+    bg = None
+    if interpolate_type in (1, 2, 3):
+        if bg_dirs == 4:
+            bg = bg_fill_4dir(disp, image, bg_depth)
+        else:
+            bg, _ = bg_fill_2dir(disp, bg_depth, num_disp)
+
+    if interpolate_type == 0:
+        fill = jnp.where(inval, rv, -1)
+    elif interpolate_type == 1:
+        fill = jnp.where(inval, bg, -1)
+    else:
+        is_occ = disp == disp_occ
+        is_mis = disp == disp_mis
+        if interpolate_type == 2:
+            fill = jnp.where(is_occ, bg, jnp.where(is_mis, rv, -1))
+        else:
+            both = (bg >= 0) & (rv >= 0)
+            occ_fill = jnp.where(both, jnp.minimum(rv, bg),
+                                 jnp.maximum(rv, bg))
+            fill = jnp.where(is_occ, occ_fill, jnp.where(is_mis, rv, -1))
+    return jnp.where(inval & (fill >= 0), fill, disp)
+
+
+def fill_surrounding(disp: jnp.ndarray, w_v: int, w_u: int,
+                     disp_inv: int = -16) -> jnp.ndarray:
+    """fillSurronding (cpp:2214-2260): invalidate the W_V-row top/bottom and
+    W_U-column left/right border bands (the SSD own-WTA flow runs this
+    before its LRC, h:490)."""
+    h, w = disp.shape
+    v = jnp.arange(h)[:, None]
+    u = jnp.arange(w)[None, :]
+    border = (v < w_v) | (v >= h - w_v) | (u < w_u) | (u >= w - w_u)
+    return jnp.where(border, jnp.asarray(disp_inv, disp.dtype), disp)
+
+
 # ---------------------------------------------------------------------------
 # Proper interpolation (properIpol cpp:7395-7490)
 # ---------------------------------------------------------------------------

@@ -58,7 +58,7 @@ def compute_volumes(left, right, cfg: MatchConfig, host_trees=None):
     n_imgs = 2 if (cfg.compute_both_volumes and cfg.do_lr_consis) else 1
 
     need_arms = _needs_arms_for_cost(cfg) or cfg.aggregation == "cbca" or (
-        cfg.do_refine and cfg.do_region_vote)
+        cfg.do_refine and (cfg.do_region_vote or cfg.do_rv_whole_image))
     arms_pair = (None, None)
     if need_arms:
         arms_pair = tuple(
@@ -186,6 +186,14 @@ def optimize(vols, left, right, cfg: MatchConfig):
 def refine(d_left, d_right, vol_left, left, arms0, cfg: MatchConfig):
     """L4 (refine() cpp:1347-1511): fixed stage order on the left map."""
     d = d_left
+    if cfg.do_fill_surrounding:
+        # fillSurronding (cpp:2214-2260): census-window border band ->
+        # DISP_INV on both maps before LRC (the SSD own-WTA flow, h:490)
+        d = refine_ops.fill_surrounding(d, cfg.census_rv, cfg.census_ru,
+                                        cfg.disp_inv)
+        if d_right is not None:
+            d_right = refine_ops.fill_surrounding(
+                d_right, cfg.census_rv, cfg.census_ru, cfg.disp_inv)
     if cfg.do_lr_consis and d_right is not None:
         if cfg.lrc_classify:
             d = refine_ops.lr_consistency_classify(
@@ -198,10 +206,23 @@ def refine(d_left, d_right, vol_left, left, arms0, cfg: MatchConfig):
     if cfg.do_pkr:
         d = refine_ops.apply_pkr(d, vol_left, cfg.pkr_thresh, cfg.disp_pkr)
     if cfg.do_region_vote:
+        arms_tilt = None
+        if cfg.rv_use_combine_bg and cfg.reg_vote_type > 0:
+            arms_tilt = arms_ops.cross_arms(
+                left, cfg.cbca_cross_l, cfg.cbca_cross_l_out,
+                cfg.cbca_c_thresh, cfg.cbca_c_thresh_out, cfg.cbca_min_arm,
+                directions=arms_ops.TILT_DIRECTIONS)
         for _ in range(cfg.region_vote_iters):
-            d = refine_ops.region_vote(d, arms0, cfg.num_disp, cfg.rv_s_thres,
-                                       cfg.rv_h_ratio, cfg.rv_int_ratio_quirk,
-                                       max_arm=cfg.cbca_cross_l_out)
+            if cfg.rv_use_combine_bg:
+                d = refine_ops.rv_combine_bg(
+                    d, arms0, arms_tilt, left, cfg.num_disp, cfg.rv_s_thres,
+                    cfg.rv_h_ratio, cfg.interpolate_type, cfg.reg_vote_type,
+                    cfg.bg_ipl_depth, cfg.bg_ip_dir, cfg.disp_occ,
+                    cfg.disp_mis, max_arm=cfg.cbca_cross_l_out)
+            else:
+                d = refine_ops.region_vote(
+                    d, arms0, cfg.num_disp, cfg.rv_s_thres, cfg.rv_h_ratio,
+                    cfg.rv_int_ratio_quirk, max_arm=cfg.cbca_cross_l_out)
     if cfg.do_cbbi:
         from mystereomatching_tpu.ops import cbbi as cbbi_ops
 
@@ -226,6 +247,9 @@ def refine(d_left, d_right, vol_left, left, arms0, cfg: MatchConfig):
         return sub  # float map (reference keeps a separate SE buffer)
     if cfg.do_last_median:
         d = refine_ops.median_blur_disp(d, cfg.median_kernel)
+    if cfg.do_rv_whole_image:
+        d = refine_ops.region_vote_whole_image(d, arms0, cfg.num_disp,
+                                               max_arm=cfg.cbca_cross_l_out)
     return d
 
 
