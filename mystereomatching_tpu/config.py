@@ -119,6 +119,16 @@ class MatchConfig:
     cbca_min_arm: int = 1              # cbca_minArmL
     cbca_iterations: int = 2           # cbca_iterationNum
     cbca_intersect: bool = True        # cbca_intersect
+    cbca_arm_mode: str = "two_level"   # calArms overload family
+                                       # (cpp:5354-5472): "two_level"
+                                       # (default), "multilevel" (vector
+                                       # L/thresh lists, cpp:3152-3253),
+                                       # "adaptive" (calHorVerDis2
+                                       # decaying threshold, cpp:3255-3349)
+    cbca_cross_ls: tuple = (17, 23, 34)   # cbca_crossL (h:263-265)
+    cbca_c_threshes: tuple = (20, 30, 30)  # cbca_cTresh list
+    cbca_ml_neigh_thresh: int = 20     # vector overload's hard-coded
+                                       # neighbor threshold (cpp:3209)
 
     # --- box / guided filter ------------------------------------------------
     bf_radius: int = 6                 # BF 12x12 boxFilter (cpp:1030) -> radius 6
@@ -255,6 +265,14 @@ class MatchConfig:
             lines.append(f"  {f.name:24s} = {v!r}{mark}")
         return "\n".join(lines)
 
+    @property
+    def arm_l_out(self) -> int:
+        """Longest possible arm under the active cbca_arm_mode — the tap
+        bound every arm-bounded kernel must honor."""
+        if self.cbca_arm_mode == "multilevel":
+            return int(self.cbca_cross_ls[-1])
+        return self.cbca_cross_l_out
+
     def validate(self) -> "MatchConfig":
         if self.cost not in COST_METHODS:
             raise ValueError(f"unknown cost {self.cost!r}; one of {COST_METHODS}")
@@ -268,12 +286,17 @@ class MatchConfig:
             raise ValueError(
                 f"d_stream_block={self.d_stream_block} must divide "
                 f"num_disp={self.num_disp}")
-        if max(self.cbca_cross_l, self.cbca_cross_l_out) > 127:
+        if max(self.cbca_cross_l, self.cbca_cross_l_out,
+               self.arm_l_out) > 127:
             # arm intersection narrows to int8 (ops/arms.py); longer arms
             # would silently clamp and diverge from the reference (ADVICE r1)
             raise ValueError(
                 f"cross arm lengths (l={self.cbca_cross_l}, "
-                f"l_out={self.cbca_cross_l_out}) must be <= 127 (int8 arms)")
+                f"l_out={self.cbca_cross_l_out}, mode max "
+                f"{self.arm_l_out}) must be <= 127 (int8 arms)")
+        if self.cbca_arm_mode not in ("two_level", "multilevel", "adaptive"):
+            raise ValueError(
+                f"unknown cbca_arm_mode {self.cbca_arm_mode!r}")
         return self
 
 

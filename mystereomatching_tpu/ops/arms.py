@@ -61,8 +61,18 @@ def cross_arms(
     lengths in ``directions`` order (default left, right, up, down; pass
     TILT_DIRECTIONS for the 45-degree arms of calTileDis cpp:3352-3443).
     """
+    sched = [c_in if k <= l_in else c_out for k in range(1, l_out + 1)]
+    return _grow_arms(img, sched, c_in, min_arm, directions)
+
+
+def _grow_arms(img, anchor_sched, neigh_thresh, min_arm, directions):
+    """Shared arm-growth core: arm extends to step k while the max-channel
+    |diff| to the PREVIOUS pixel stays <= neigh_thresh and to the ANCHOR
+    stays <= anchor_sched[k-1] (judgeColorDif, cpp:2848-2856); lower clamp
+    min(min_arm, distance to border) (cpp:3030-3041)."""
     img = img.astype(jnp.float32)
     h, w = img.shape[:2]
+    l_out = len(anchor_sched)
     arms = []
     for dv, du in directions:
         alive = jnp.ones((h, w), jnp.bool_)
@@ -70,13 +80,12 @@ def cross_arms(
         prev = img
         for k in range(1, l_out + 1):
             cur = _shift(img, dv, du, k, _PAD_FAIL)
-            neigh_ok = jnp.max(jnp.abs(cur - prev), axis=-1) <= c_in
-            thresh = c_in if k <= l_in else c_out
-            anchor_ok = jnp.max(jnp.abs(cur - img), axis=-1) <= thresh
+            neigh_ok = jnp.max(jnp.abs(cur - prev), axis=-1) <= neigh_thresh
+            anchor_ok = jnp.max(jnp.abs(cur - img),
+                                axis=-1) <= anchor_sched[k - 1]
             alive = alive & neigh_ok & anchor_ok
             arm = arm + alive.astype(jnp.int32)
             prev = cur
-        # lower clamp: min(min_arm, distance to border) (cpp:3030-3041)
         v = jnp.arange(h, dtype=jnp.int32)[:, None]
         u = jnp.arange(w, dtype=jnp.int32)[None, :]
         big = jnp.int32(1 << 30)
@@ -87,6 +96,69 @@ def cross_arms(
         floor = jnp.minimum(jnp.int32(min_arm), dist)
         arms.append(jnp.maximum(arm, floor))
     return jnp.stack(arms)
+
+
+def cross_arms_multilevel(
+    img: jnp.ndarray,
+    levels_l=(17, 23, 34),
+    levels_t=(20, 30, 30),
+    neigh_thresh: int = 20,
+    min_arm: int = 1,
+    directions=DIRECTIONS,
+) -> jnp.ndarray:
+    """Multi-level arm lists (calHorVerDis vector<int> overload,
+    cpp:3152-3253; 3-threshold overload cpp:3053-3151): the anchor
+    threshold steps down the level list — threshold[n] applies while
+    arm <= levels_l[n]. The vector overload hard-codes the neighbor
+    threshold to 20 (cpp:3209); the 3-threshold overload uses thresh0 —
+    pass neigh_thresh accordingly."""
+    sched = []
+    for k in range(1, levels_l[-1] + 1):
+        for ll, tt in zip(levels_l, levels_t):
+            if k <= ll:
+                sched.append(tt)
+                break
+    return _grow_arms(img, sched, neigh_thresh, min_arm, directions)
+
+
+def cross_arms_adaptive(
+    img: jnp.ndarray,
+    l_in: int = 17,
+    l_out: int = 34,
+    c_in: int = 20,
+    c_out: int = 6,
+    min_arm: int = 1,
+    directions=DIRECTIONS,
+) -> jnp.ndarray:
+    """Adaptive arms (calHorVerDis2, cpp:3255-3349): within l_in the anchor
+    threshold decays linearly with distance,
+    c_d(k) = int(C_D - C_D/L*k + 10) (C++ float expression truncated,
+    cpp:3305), beyond it C_D_out applies; the neighbor threshold stays C_D.
+    The reference keeps this variant commented out at its calArms call
+    site (cpp:5362-5366)."""
+    sched = [int(c_in - c_in / l_in * k + 10) if k <= l_in else c_out
+             for k in range(1, l_out + 1)]
+    return _grow_arms(img, sched, c_in, min_arm, directions)
+
+
+def build_arms(img: jnp.ndarray, cfg, directions=DIRECTIONS) -> jnp.ndarray:
+    """Config-dispatched arm construction (the calArms overload family,
+    cpp:5354-5472): 'two_level' (default, calHorVerDis cpp:2959),
+    'multilevel' (vector overload cpp:3152), 'adaptive' (calHorVerDis2
+    cpp:3255)."""
+    if cfg.cbca_arm_mode == "multilevel":
+        return cross_arms_multilevel(img, cfg.cbca_cross_ls,
+                                     cfg.cbca_c_threshes,
+                                     cfg.cbca_ml_neigh_thresh,
+                                     cfg.cbca_min_arm, directions)
+    if cfg.cbca_arm_mode == "adaptive":
+        return cross_arms_adaptive(img, cfg.cbca_cross_l,
+                                   cfg.cbca_cross_l_out, cfg.cbca_c_thresh,
+                                   cfg.cbca_c_thresh_out, cfg.cbca_min_arm,
+                                   directions)
+    return cross_arms(img, cfg.cbca_cross_l, cfg.cbca_cross_l_out,
+                      cfg.cbca_c_thresh, cfg.cbca_c_thresh_out,
+                      cfg.cbca_min_arm, directions)
 
 
 def intersect_arms(

@@ -61,11 +61,8 @@ def compute_volumes(left, right, cfg: MatchConfig, host_trees=None):
         cfg.do_refine and (cfg.do_region_vote or cfg.do_rv_whole_image))
     arms_pair = (None, None)
     if need_arms:
-        arms_pair = tuple(
-            arms_ops.cross_arms(img, cfg.cbca_cross_l, cfg.cbca_cross_l_out,
-                                cfg.cbca_c_thresh, cfg.cbca_c_thresh_out,
-                                cfg.cbca_min_arm)
-            for img in (left, right))
+        arms_pair = tuple(arms_ops.build_arms(img, cfg)
+                          for img in (left, right))
 
     vols = {}
     for lor in range(n_imgs):
@@ -84,7 +81,7 @@ def compute_volumes(left, right, cfg: MatchConfig, host_trees=None):
             arms_int = arms_ops.intersect_arms(arms_pair[0], arms_pair[1],
                                                cfg.num_disp, lor)
             vol = agg_ops.cbca(vol, arms_int, cfg.cbca_iterations,
-                               max_arm=cfg.cbca_cross_l_out)
+                               max_arm=cfg.arm_l_out)
         else:
             img, g = (left, gl) if lor == 0 else (right, gr)
             oth = right if lor == 0 else left
@@ -125,7 +122,7 @@ def _volume_dstream(left, right, gl, gr, cfg: MatchConfig, lor, arms_pair):
             arms_int = arms_ops.intersect_arms_block(
                 arms_pair[0], arms_pair[1], ds, lor)
             blk = agg_ops.cbca(blk, arms_int, cfg.cbca_iterations,
-                               max_arm=cfg.cbca_cross_l_out)
+                               max_arm=cfg.arm_l_out)
         elif cfg.aggregation != "none":
             raise NotImplementedError(
                 f"aggregation {cfg.aggregation!r} has no D-streaming form")
@@ -208,21 +205,19 @@ def refine(d_left, d_right, vol_left, left, arms0, cfg: MatchConfig):
     if cfg.do_region_vote:
         arms_tilt = None
         if cfg.rv_use_combine_bg and cfg.reg_vote_type > 0:
-            arms_tilt = arms_ops.cross_arms(
-                left, cfg.cbca_cross_l, cfg.cbca_cross_l_out,
-                cfg.cbca_c_thresh, cfg.cbca_c_thresh_out, cfg.cbca_min_arm,
-                directions=arms_ops.TILT_DIRECTIONS)
+            arms_tilt = arms_ops.build_arms(
+                left, cfg, directions=arms_ops.TILT_DIRECTIONS)
         for _ in range(cfg.region_vote_iters):
             if cfg.rv_use_combine_bg:
                 d = refine_ops.rv_combine_bg(
                     d, arms0, arms_tilt, left, cfg.num_disp, cfg.rv_s_thres,
                     cfg.rv_h_ratio, cfg.interpolate_type, cfg.reg_vote_type,
                     cfg.bg_ipl_depth, cfg.bg_ip_dir, cfg.disp_occ,
-                    cfg.disp_mis, max_arm=cfg.cbca_cross_l_out)
+                    cfg.disp_mis, max_arm=cfg.arm_l_out)
             else:
                 d = refine_ops.region_vote(
                     d, arms0, cfg.num_disp, cfg.rv_s_thres, cfg.rv_h_ratio,
-                    cfg.rv_int_ratio_quirk, max_arm=cfg.cbca_cross_l_out)
+                    cfg.rv_int_ratio_quirk, max_arm=cfg.arm_l_out)
     if cfg.do_cbbi:
         from mystereomatching_tpu.ops import cbbi as cbbi_ops
 
@@ -249,7 +244,7 @@ def refine(d_left, d_right, vol_left, left, arms0, cfg: MatchConfig):
         d = refine_ops.median_blur_disp(d, cfg.median_kernel)
     if cfg.do_rv_whole_image:
         d = refine_ops.region_vote_whole_image(d, arms0, cfg.num_disp,
-                                               max_arm=cfg.cbca_cross_l_out)
+                                               max_arm=cfg.arm_l_out)
     return d
 
 
