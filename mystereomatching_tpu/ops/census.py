@@ -50,49 +50,130 @@ def census_code_classic(gray: jnp.ndarray, rv: int, ru: int) -> jnp.ndarray:
 
 
 def census_code_symmetric(gray: jnp.ndarray, rv: int, ru: int) -> jnp.ndarray:
-    """Symmetric census (genSymCensus, h:1174-1208): compares point-reflected
-    window pairs, giving ((2rv+1)(2ru+1)-1)/2 ... we emit the full half set."""
+    """Symmetric census (genSymCensus, h:1174-1208): over the FULL window,
+    bit = I(p+o) <= I(p-o) (point-reflected pair, non-strict; the center
+    bit is constantly 1). No padding — pixels within the rv/ru border band
+    keep an all-zero code (the reference memsets and skips them)."""
     g = gray.astype(jnp.int32)
     pad = jnp.pad(g, ((rv, rv), (ru, ru)), mode="reflect")
     h, w = gray.shape
     bits = []
-    offs = _offsets_classic(rv, ru)
-    n = len(offs)
-    for k in range(n // 2):
-        dv, du = offs[k]
-        dv2, du2 = offs[n - 1 - k]
+    for dv, du in _offsets_classic(rv, ru):
         a = lax.dynamic_slice(pad, (rv + dv, ru + du), (h, w))
-        b = lax.dynamic_slice(pad, (rv + dv2, ru + du2), (h, w))
+        b = lax.dynamic_slice(pad, (rv - dv, ru - du), (h, w))
+        bits.append(a <= b)
+    code = _pack_bits(bits)
+    v = jnp.arange(h, dtype=jnp.int32)[:, None]
+    u = jnp.arange(w, dtype=jnp.int32)[None, :]
+    inner = (v >= rv) & (v < h - rv) & (u >= ru) & (u < w - ru)
+    return jnp.where(inner[None], code, jnp.uint32(0))
+
+
+def _neigh_c1_pairs(rv: int, ru: int):
+    """Bit pair-offset walk of genCensusCode_neighC1 (h:691-791): clockwise
+    ring walks comparing consecutive ring pixels, rings min(rv,ru) deep,
+    then a horizontal remainder row. The remainder indexes the padded image
+    without re-adding the (rv, ru) offset (h:769-784) — i.e. it compares
+    pixels on row -rv at columns du-ru, a reference quirk kept verbatim
+    (its u+du = -1 out-of-buffer read at the left edge is sanitized to the
+    reflect-101 extension)."""
+    pairs = []
+    loop_num = min(rv, ru)
+    for i in range(loop_num):
+        vpos, upos = -(rv - i), -(ru - i)
+        for loop_ in range(4):
+            if loop_ % 2 == 0:
+                cof = -1 if upos > 0 else 1
+                du = upos
+                while du != -upos:
+                    pairs.append(((vpos, du), (vpos, du + cof)))
+                    du += cof
+                upos = -upos
+            else:
+                cof = -1 if vpos > 0 else 1
+                dv = vpos
+                while dv != -vpos:
+                    pairs.append(((dv, upos), (dv + cof, upos)))
+                    dv += cof
+                vpos = -vpos
+    urem = ru - loop_num
+    for du in range(-urem, urem):
+        pairs.append(((-rv, du - ru), (-rv, du + 1 - ru)))
+    return pairs
+
+
+def _neigh_c2_pairs(rv: int, ru: int):
+    """Bit pair-offset walk of genCensusCode_neighC2 (h:793-864): serpentine
+    scan of the window comparing consecutive samples along the path,
+    including the vertical hop between rows."""
+    pairs = []
+    u_start, u_end = -ru, ru
+    cof = 1
+    for dv in range(-rv, rv + 1):
+        u_ = u_start
+        while u_ != u_end:
+            pairs.append(((dv, u_), (dv, u_ + cof)))
+            u_ += cof
+        if dv < rv:
+            pairs.append(((dv, u_end), (dv + 1, u_end)))
+        u_start, u_end, cof = u_end, u_start, -cof
+    return pairs
+
+
+def _pair_code(gray: jnp.ndarray, pairs) -> jnp.ndarray:
+    """bit = I(p+a) < I(p+b) for each (a, b) offset pair, reflect-101
+    extended as far as the offsets reach."""
+    g = gray.astype(jnp.int32)
+    pv = max(max(abs(a[0]), abs(b[0])) for a, b in pairs)
+    pu = max(max(abs(a[1]), abs(b[1])) for a, b in pairs)
+    pad = jnp.pad(g, ((pv, pv), (pu, pu)), mode="reflect")
+    h, w = gray.shape
+    bits = []
+    for (av, au), (bv, bu) in pairs:
+        a = lax.dynamic_slice(pad, (pv + av, pu + au), (h, w))
+        b = lax.dynamic_slice(pad, (pv + bv, pu + bu), (h, w))
         bits.append(a < b)
     return _pack_bits(bits)
 
 
 def census_code_neighbor(gray: jnp.ndarray, rv: int, ru: int,
-                         stride: int = 1) -> jnp.ndarray:
-    """Ring/chain-neighbor census (genCensusCode_neighC1/2, h:691-864
-    family): each bit compares consecutive window samples in scan order
-    (stride 1) or samples two apart (stride 2) instead of against the
-    center — robust to center-pixel noise."""
-    g = gray.astype(jnp.int32)
-    pad = jnp.pad(g, ((rv, rv), (ru, ru)), mode="reflect")
-    h, w = gray.shape
-    samples = [lax.dynamic_slice(pad, (rv + dv, ru + du), (h, w))
-               for dv, du in _offsets_classic(rv, ru)]
-    bits = [samples[i] < samples[(i + stride) % len(samples)]
-            for i in range(len(samples))]
-    return _pack_bits(bits)
+                         variant: int = 1) -> jnp.ndarray:
+    """Neighbor-compare census: variant 1 = ring walk (neighC1), variant
+    2 = serpentine (neighC2). Each bit compares consecutive walk pixels
+    instead of against the center — robust to center-pixel noise."""
+    pairs = _neigh_c1_pairs(rv, ru) if variant == 1 else _neigh_c2_pairs(rv, ru)
+    return _pair_code(gray, pairs)
+
+
+def neigh_code_length(rv: int, ru: int, variant: int) -> int:
+    pairs = _neigh_c1_pairs(rv, ru) if variant == 1 else _neigh_c2_pairs(rv, ru)
+    return len(pairs)
 
 
 def census_code_mean(gray: jnp.ndarray, rv: int, ru: int) -> jnp.ndarray:
-    """Mean-census (genCensus, cpp:5309-5351): compare neighbors against the
-    window mean instead of the center pixel."""
-    g = gray.astype(jnp.float32)
-    pad = jnp.pad(g, ((rv, rv), (ru, ru)), mode="reflect")
+    """Mean-census (genCensus, cpp:5309-5351): compare neighbors (reflect-101
+    window) against the INTEGER-floored window mean. The reference computes
+    the mean over the window centered at (v+rv, u+ru) of the UNPADDED image
+    — a down-right-shifted window whose bottom/right edges read out of
+    bounds; we keep the shift and sanitize the reads to the reflect-101
+    extension. The mean then truncates uchar-ward twice (int division
+    sum/area, then the float->uchar assignment, cpp:5334-5336)."""
+    g = gray.astype(jnp.int32)
     h, w = gray.shape
-    win = [lax.dynamic_slice(pad, (rv + dv, ru + du), (h, w))
-           for dv, du in _offsets_classic(rv, ru)]
-    mean = sum(win) / len(win)
-    bits = [mean < nb for nb in win]
+    # shifted-window mean: pad enough for offsets up to 2rv/2ru
+    pad2 = jnp.pad(g, ((2 * rv, 2 * rv), (2 * ru, 2 * ru)), mode="reflect")
+    ssum = jnp.zeros((h, w), jnp.int32)
+    for dv in range(-rv, rv + 1):
+        for du in range(-ru, ru + 1):
+            ssum = ssum + lax.dynamic_slice(
+                pad2, (2 * rv + rv + dv, 2 * ru + ru + du), (h, w))
+    area = (2 * rv + 1) * (2 * ru + 1)
+    mean = ssum // area                                  # C++ int division
+    pad = jnp.pad(g, ((rv, rv), (ru, ru)), mode="reflect")
+    bits = []
+    for dv, du in _offsets_classic(rv, ru):
+        nb = lax.dynamic_slice(pad, (rv + dv, ru + du), (h, w))
+        bits.append(mean < nb)
     return _pack_bits(bits)
 
 

@@ -368,10 +368,12 @@ def _census_code_fn(func: int, rv: int, ru: int):
     win = (2 * rv + 1) * (2 * ru + 1)
     return {
         0: (lambda g: census_ops.census_code_classic(g, rv, ru), win),
-        1: (lambda g: census_ops.census_code_neighbor(g, rv, ru, 1), win),
-        2: (lambda g: census_ops.census_code_neighbor(g, rv, ru, 2), win),
+        1: (lambda g: census_ops.census_code_neighbor(g, rv, ru, 1),
+            census_ops.neigh_code_length(rv, ru, 1)),
+        2: (lambda g: census_ops.census_code_neighbor(g, rv, ru, 2),
+            census_ops.neigh_code_length(rv, ru, 2)),
         3: (lambda g: census_ops.census_code_ncsur(g, rv, ru), win + 8),
-        4: (lambda g: census_ops.census_code_symmetric(g, rv, ru), win // 2),
+        4: (lambda g: census_ops.census_code_symmetric(g, rv, ru), win),
         5: (lambda g: census_ops.census_code_mean(g, rv, ru), win),
     }[func]
 
