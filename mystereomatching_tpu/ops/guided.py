@@ -16,15 +16,27 @@ from mystereomatching_tpu.ops.cost import _box_sum
 
 
 def _box_mean(x: jnp.ndarray, r: int) -> jnp.ndarray:
+    """MATLAB-style truncated-window mean: BoxFilter(x, r) / N
+    (cpp:5143-5208; N = BoxFilter(ones), cpp:4980-4981)."""
     ones = jnp.ones(x.shape[-2:], x.dtype)
     n = _box_sum(ones, r, r)
     return _box_sum(x, r, r) / n
 
 
+def _box_mean_cv(x: jnp.ndarray, r: int) -> jnp.ndarray:
+    """cv::boxFilter(normalize=true) mean: reflect-101 border, constant
+    (2r+1)^2 divisor — the gray core's box semantics (cpp:4951-4954)."""
+    pad = [(0, 0)] * (x.ndim - 2) + [(r, r), (r, r)]
+    xp = jnp.pad(x, pad, mode="reflect")
+    return _box_sum(xp, r, r)[..., r:-r, r:-r] / float((2 * r + 1) ** 2)
+
+
 def guided_filter_gray(p: jnp.ndarray, guide: jnp.ndarray, radius: int,
                        eps: float) -> jnp.ndarray:
-    """Gray-guide GF (guideFilterCore cpp:4919-4973). p: [..., H, W] input
-    (batched over leading dims), guide: [H, W] in [0,1]."""
+    """Gray-guide GF (guideFilterCore cpp:4919-4973): cv::boxFilter means
+    (reflect-101, full-window divisor). p: [..., H, W] input (batched over
+    leading dims), guide: [H, W]."""
+    _box_mean = _box_mean_cv
     i = guide
     mean_i = _box_mean(i, radius)
     mean_p = _box_mean(p, radius)
@@ -91,9 +103,17 @@ def guided_filter_color(p: jnp.ndarray, guide: jnp.ndarray, radius: int,
 
 def guided_filter_volume(vol: jnp.ndarray, guide: jnp.ndarray, radius: int = 9,
                          eps: float = 1e-4) -> jnp.ndarray:
-    """GF aggregation of the cost volume (GF cpp:4404-4419): guide
-    normalized to [0,1]; eps matches the reference's 1e-4 (on unit scale)."""
+    """GF aggregation of the cost volume (guideFilter cpp:4492-4516): the
+    reference feeds the raw 0..255 image (cpp:4504-4505) with eps = 1e-4 to
+    guideFilterCore_matlab (cpp:4511). GF obeys the EXACT identity
+    GF(I, eps) == GF(I/s, eps/s^2), so we run at unit scale (s = 255) where
+    float32 products stay near 1 — measured 60x lower error than the raw
+    scale. Residual deviation vs the reference's double-precision 3x3 solve
+    (cpp:5051-5084): eps/255^2 ~ 1.5e-9 sits below float32 covariance noise
+    (~5e-8), so near-singular (flat) windows diverge in `a` — where
+    q ~ mean_p anyway; WTA decisions agree >99% (test_gf_oracle)."""
     g = guide.astype(jnp.float32) / 255.0
+    eps = eps / (255.0 * 255.0)
     if g.ndim == 3:
         return guided_filter_color(vol, g, radius, eps)
     return guided_filter_gray(vol, g, radius, eps)
