@@ -42,7 +42,11 @@ def rgb_to_lab(img: jnp.ndarray) -> jnp.ndarray:
     a_ = 500.0 * (fx - fy) + 128.0
     b_ = 200.0 * (fy - fz) + 128.0
     l8 = l_ * 255.0 / 100.0
-    return jnp.stack([l8, a_, b_], -1)
+    # the reference's Lab is uint8 (cvtColor on uchar, cpp:5733): round and
+    # saturate to match that quantization (OpenCV's fixed-point tables may
+    # still differ by the odd LSB — a documented deviation)
+    lab = jnp.stack([l8, a_, b_], -1)
+    return jnp.clip(jnp.round(lab), 0.0, 255.0)
 
 
 def _lab_weight(center: jnp.ndarray, neigh: jnp.ndarray, gamma: float) -> jnp.ndarray:
