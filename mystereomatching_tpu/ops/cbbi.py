@@ -55,12 +55,21 @@ def segment_labels(image: jnp.ndarray, tol: int = 4, blur_sigma: float = 4.0,
     c_l = conn(0, -1)
     c_d = conn(1, 0)
     c_u = conn(-1, 0)
+    return label_components(c_l, c_r, c_u, c_d, n_rounds)
 
+
+def label_components(c_l, c_r, c_u, c_d, n_rounds: int = 24) -> jnp.ndarray:
+    """Connected-component labels (min flat index) of the 4-neighbor graph
+    whose directed connectivity masks are c_l[v,u] = (v,u)~(v,u-1) etc.
+    Iterated masked min-scans along rows/columns; n_rounds bounds the
+    label-diffusion diameter (each round moves labels across one full
+    row+column pass, so 24 covers components ~24 zigzag turns deep —
+    the device analogue of floodFill, cpp:7661-7692)."""
+    h, w = c_l.shape
     label0 = jnp.arange(h * w, dtype=jnp.int32).reshape(h, w)
 
     def scan_min(lab, c_fwd, axis, reverse):
         """masked running min along axis: labels flow across connected runs."""
-        big = jnp.int32(1 << 30)
         x = lab if not reverse else jnp.flip(lab, axis)
         m = c_fwd if not reverse else jnp.flip(c_fwd, axis)
 
@@ -79,8 +88,7 @@ def segment_labels(image: jnp.ndarray, tol: int = 4, blur_sigma: float = 4.0,
         lab = scan_min(lab, c_d, 0, True)
         return lab
 
-    labels = lax.fori_loop(0, n_rounds, body, label0)
-    return labels
+    return lax.fori_loop(0, n_rounds, body, label0)
 
 
 def cbbi(disp: jnp.ndarray, image: jnp.ndarray, cfg, n_sweeps: int = 4) -> jnp.ndarray:

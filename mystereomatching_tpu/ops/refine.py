@@ -685,47 +685,73 @@ def median_blur_disp(disp: jnp.ndarray, ksize: int = 3) -> jnp.ndarray:
 # Discontinuity adjustment (cpp:6057-6136)
 # ---------------------------------------------------------------------------
 
-def discontinuity_adjust(disp: jnp.ndarray, vol: jnp.ndarray) -> jnp.ndarray:
+def discontinuity_adjust(disp: jnp.ndarray, vol: jnp.ndarray,
+                         edges: jnp.ndarray = None) -> jnp.ndarray:
     """Along disparity-edge normals, replace each edge pixel's disparity by
-    a lower-cost neighbor's (cpp:6057-6136). Edges come from a simplified
-    Canny (Sobel + NMS + double threshold) on the equalized disparity map.
-    """
-    from mystereomatching_tpu.ops.canny import canny_edges
+    a lower-cost neighbor's (discontinuityAdjust cpp:6057-6136).
 
-    d8 = jnp.clip(disp, 0, 255).astype(jnp.uint8)
-    edges = canny_edges(d8, low=20.0, high=60.0, equalize=True, blur_sigma=4.0)
+    Edge-direction priority (cpp:6080-6099), exclusive as written: main
+    diagonal -> 4, anti-diagonal -> 0, else if the TOP row has any edge the
+    only remaining option is 6 (bottom row must also hit — the horizontal
+    test lives in the else branch, so a top-only hit selects nothing);
+    otherwise left+right columns -> 2. Border pixels are untouched
+    (cpp:6071-6072). The reference adjusts in place during its raster scan
+    (later pixels can read adjusted up-neighbors); this pass reads a
+    snapshot — one Jacobi step of the same update.
+
+    edges: optional [H,W] bool; defaults to the reference's recipe —
+    equalized, Gaussian-blurred Canny of the disparity map (cpp:6060-6064).
+    """
+    if edges is None:
+        from mystereomatching_tpu.ops.canny import canny_edges
+
+        d8 = jnp.clip(disp, 0, 255).astype(jnp.uint8)
+        edges = canny_edges(d8, low=20.0, high=60.0, equalize=True,
+                            blur_sigma=4.0)
 
     e = edges
     nb = {(dv, du): _shift2d(e, dv, du, False)
           for dv in (-1, 0, 1) for du in (-1, 0, 1)}
-    # direction pairs as in the reference's table (cpp:6068-6069)
-    diag1 = nb[(-1, -1)] & nb[(1, 1)]                  # direction 4: (-1,1)/(1,-1)
-    diag2 = nb[(-1, 1)] & nb[(1, -1)]                  # direction 0: (-1,-1)/(1,1)
-    vert = ((nb[(-1, 0)] | nb[(-1, -1)] | nb[(-1, 1)])
-            & (nb[(1, 0)] | nb[(1, -1)] | nb[(1, 1)]))  # direction 6: (0,-1)/(0,1)
-    horz = ((nb[(-1, -1)] | nb[(0, -1)] | nb[(1, -1)])
-            & (nb[(-1, 1)] | nb[(0, 1)] | nb[(1, 1)]))  # direction 2: (1,0)/(-1,0)
+    top_any = nb[(-1, 0)] | nb[(-1, -1)] | nb[(-1, 1)]
+    bot_any = nb[(1, 0)] | nb[(1, -1)] | nb[(1, 1)]
+    left_any = nb[(-1, -1)] | nb[(0, -1)] | nb[(1, -1)]
+    right_any = nb[(-1, 1)] | nb[(0, 1)] | nb[(1, 1)]
+    diag4 = nb[(-1, -1)] & nb[(1, 1)]
+    diag0 = nb[(-1, 1)] & nb[(1, -1)]
+    vert6 = top_any & bot_any
+    horz2 = (~top_any) & left_any & right_any   # reachable only when the
+    #                                             top-row test failed
+    dir_sel = jnp.where(diag4, 4, jnp.where(diag0, 0,
+                jnp.where(vert6, 6, jnp.where(horz2, 2, -1))))
 
+    # (d1, d2) neighbor offsets per direction (directionsH/W cpp:6069-6070)
     pairs = {4: ((-1, 1), (1, -1)), 0: ((-1, -1), (1, 1)),
-             6: ((0, -1), (0, 1)), 2: ((1, 0), (-1, 0))}
-    dir_sel = jnp.where(diag1, 4, jnp.where(diag2, 0,
-                jnp.where(vert, 6, jnp.where(horz, 2, -1))))
+             6: ((0, -1), (0, 1)), 2: ((-1, 0), (1, 0))}
 
     def cost_at(d):
         dc = jnp.clip(d, 0, vol.shape[0] - 1)
         return jnp.take_along_axis(vol, dc[None], 0)[0]
+
+    h, w = disp.shape
+    vv = jnp.arange(h)[:, None]
+    uu = jnp.arange(w)[None, :]
+    inner = (vv >= 1) & (vv < h - 1) & (uu >= 1) & (uu < w - 1)
 
     cost0 = cost_at(disp)
     out = disp
     for sel, ((dv1, du1), (dv2, du2)) in pairs.items():
         d1 = _shift2d(disp, dv1, du1, -1)
         d2 = _shift2d(disp, dv2, du2, -1)
-        c1 = jnp.where(d1 >= 0, cost_at_shifted(vol, d1, dv1, du1), jnp.inf)
-        c2 = jnp.where(d2 >= 0, cost_at_shifted(vol, d2, dv2, du2), jnp.inf)
-        best = jnp.where(c1 < cost0, d1, disp)
-        bestc = jnp.minimum(c1, cost0)
-        best = jnp.where(c2 < bestc, d2, best)
-        sel_mask = edges & (dir_sel == sel) & (disp >= 0)
+        # cost1 gate is `>= 0 && < cost`; cost2's is `!= -1 && < cost`
+        # (cpp:6115-6130) — asymmetric sentinels kept verbatim (a genuinely
+        # negative cost is skipped as d1 but accepted as d2)
+        c1 = jnp.where(d1 >= 0, cost_at_shifted(vol, d1, dv1, du1), -1.0)
+        c2 = jnp.where(d2 >= 0, cost_at_shifted(vol, d2, dv2, du2), -1.0)
+        take1 = (c1 >= 0) & (c1 < cost0)
+        best = jnp.where(take1, d1, disp)
+        bestc = jnp.where(take1, c1, cost0)
+        best = jnp.where((c2 != -1.0) & (c2 < bestc), d2, best)
+        sel_mask = e & inner & (dir_sel == sel) & (disp >= 0)
         out = jnp.where(sel_mask, best, out)
     return out
 
