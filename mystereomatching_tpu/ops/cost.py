@@ -95,6 +95,7 @@ def grad_volume(
     arms: Optional[jnp.ndarray] = None,
     normalize: bool = False,
     disps=None,
+    grad_y_pair=None,
 ) -> jnp.ndarray:
     """Gradient cost volume (grad() cpp:603-657 + calgradvm 388-466).
 
@@ -103,9 +104,14 @@ def grad_volume(
     a = shortestH/(shortestH+shortestV) from the CBCA arm lengths of the
     reference image (cpp:424-433; arms is [4,H,W] for image `lor`).
     DEFAULT for invalid entries = sqrt(2*T^2) (cpp:443).
+
+    ``grad_y_pair``: optional precomputed (gy_left, gy_right) planes — the
+    row-band sharded path substitutes y-gradients whose one-sided edge
+    rows sit at the TRUE picture borders instead of the band edges.
     """
     gx = (central_gradient(gray_l, 1), central_gradient(gray_r, 1))
-    gy = (central_gradient(gray_l, 0), central_gradient(gray_r, 0))
+    gy = (grad_y_pair if grad_y_pair is not None
+          else (central_gradient(gray_l, 0), central_gradient(gray_r, 0)))
 
     if use_2dir and adaptive_weight:
         assert arms is not None, "adaptive grad weight needs cross arms"
@@ -342,22 +348,31 @@ def _qx_gradient(gray: jnp.ndarray) -> jnp.ndarray:
 
 
 def qx_ad_grad_volume(left: jnp.ndarray, right: jnp.ndarray,
-                      num_disp: int) -> jnp.ndarray:
+                      num_disp: int, lor: int = 0,
+                      disps: jnp.ndarray = None) -> jnp.ndarray:
     """The NL standalone cost (matching_cost_from_color_and_gradient,
     NL/qx_nonlocal_cost_aggregation.cpp:190-218): mean truncated AD over
     color (max 7, weight 0.11) + truncated gradient diff (max 2, weight
-    0.89). The shifted right image replicates COLUMN 0 past the border
-    (cpp:202-206) — shifted_stack's clamp gives exactly that. Left volume
-    only; the reference derives the right one via qx_stereo_flip_corr_vol
-    (ops/nl.flip_corr_vol)."""
+    0.89). The shifted image replicates the border column past the edge
+    (cpp:202-206) — shifted_stack's clamp gives exactly that.
+
+    lor=1 builds the RIGHT volume directly: vmR(d,y,x) = C(right(x),
+    left(min(x+d, w-1))), which equals qx_stereo_flip_corr_vol of the left
+    volume bit-for-bit (the flip's past-border replicate-previous-d quirk
+    collapses to the same clamp — see ops/nl.flip_corr_vol). The dense NL
+    flow keeps the flip (golden-locked); the D-sharded flow builds blocks
+    of either volume directly (``disps``)."""
     gl, gr = _qx_gray(left), _qx_gray(right)
     grad_l, grad_r = _qx_gradient(gl), _qx_gradient(gr)
-    rs = shifted_stack(jnp.moveaxis(right, -1, 0), num_disp, 0)  # [D,3,H,W]
+    ref_img, oth_img = (left, right) if lor == 0 else (right, left)
+    ref_grad, oth_grad = (grad_l, grad_r) if lor == 0 else (grad_r, grad_l)
+    os_ = shifted_stack(jnp.moveaxis(oth_img, -1, 0), num_disp, lor,
+                        disps=disps)                         # [D,3,H,W]
     color = jnp.minimum(
-        jnp.sum(jnp.abs(jnp.moveaxis(left, -1, 0)[None] - rs), axis=1) / 3.0,
-        7.0)
-    gs = shifted_stack(grad_r, num_disp, 0)
-    grad = jnp.minimum(jnp.abs(grad_l[None] - gs), 2.0)
+        jnp.sum(jnp.abs(jnp.moveaxis(ref_img, -1, 0)[None] - os_),
+                axis=1) / 3.0, 7.0)
+    gs = shifted_stack(oth_grad, num_disp, lor, disps=disps)
+    grad = jnp.minimum(jnp.abs(ref_grad[None] - gs), 2.0)
     return 0.11 * color + 0.89 * grad
 
 
@@ -419,6 +434,7 @@ def compute_cost_volume(
     cfg: MatchConfig,
     lor: int,
     arms: Optional[jnp.ndarray] = None,
+    grad_y_pair=None,
 ) -> jnp.ndarray:
     """String-dispatch cost computation (costCalculate, cpp:945-1021).
 
@@ -439,7 +455,8 @@ def compute_cost_volume(
 
     def grad_vm(trunc):
         return grad_volume(gray_l, gray_r, d, lor, trunc, cfg.grad_use_2dir,
-                           cfg.grad_fuse_adaptive, arms, cfg.is_grad_norm)
+                           cfg.grad_fuse_adaptive, arms, cfg.is_grad_norm,
+                           grad_y_pair=grad_y_pair)
 
     if method == "ad":
         return ad_volume(left, right, d, lor, trunc=1e9)
@@ -466,7 +483,8 @@ def compute_cost_volume(
         # adGrad (cpp:50-70): AD trunc 7, grad trunc 2, weights 0.11/0.89
         advm = ad_volume(left, right, d, lor, trunc=cfg.ad_trunc)
         gvm = grad_volume(gray_l, gray_r, d, lor, 2.0, cfg.grad_use_2dir,
-                          cfg.grad_fuse_adaptive, arms)
+                          cfg.grad_fuse_adaptive, arms,
+                          grad_y_pair=grad_y_pair)
         return fix_weight_fuse(advm, 0.11, gvm, 0.89)
     if method == "ad_census":
         # adCensus (cpp:5250-5277): exp fusion of AD (lam 10) and census (lam 30)
@@ -501,6 +519,7 @@ def block_cost_builder(
     cfg: MatchConfig,
     lor: int,
     arms: Optional[jnp.ndarray] = None,
+    grad_y_pair=None,
 ):
     """D-streaming form of :func:`compute_cost_volume` for full-res configs.
 
@@ -527,7 +546,7 @@ def block_cost_builder(
     def grad_vm(ds, trunc):
         return grad_volume(gray_l, gray_r, d, lor, trunc, cfg.grad_use_2dir,
                            cfg.grad_fuse_adaptive, arms, cfg.is_grad_norm,
-                           disps=ds)
+                           disps=ds, grad_y_pair=grad_y_pair)
 
     def block(ds):
         if method == "ad":
@@ -547,7 +566,8 @@ def block_cost_builder(
         if method == "ad_grad":
             advm = ad_volume(left, right, d, lor, trunc=cfg.ad_trunc, disps=ds)
             gvm = grad_volume(gray_l, gray_r, d, lor, 2.0, cfg.grad_use_2dir,
-                              cfg.grad_fuse_adaptive, arms, disps=ds)
+                              cfg.grad_fuse_adaptive, arms, disps=ds,
+                              grad_y_pair=grad_y_pair)
             return fix_weight_fuse(advm, 0.11, gvm, 0.89)
         if method == "ad_census":
             advm = ad_volume(left, right, d, lor, trunc=1e9, disps=ds)

@@ -71,12 +71,19 @@ def _flatten_edges(wr: jnp.ndarray, wd: jnp.ndarray):
     return eu, ev, ew
 
 
-def boruvka_mst(wr: jnp.ndarray, wd: jnp.ndarray) -> jnp.ndarray:
+def boruvka_mst(wr: jnp.ndarray, wd: jnp.ndarray,
+                row_axis: str = None) -> jnp.ndarray:
     """Minimum spanning tree of the 4-neighbor grid.
 
     Returns a bool mask [E] over the flattened edge list (right edges then
     down edges) marking MST membership. Deterministic: ties by edge index,
     matching the reference's stable sort + Kruskal order.
+
+    ``row_axis``: inside shard_map, the name of a mesh axis over which each
+    round's component segment-min is computed per row band and merged with
+    ``lax.pmin`` — the distributed-Borůvka cross-shard merge (each shard
+    contributes its boundary components' minima; labels stay replicated).
+    Output is bit-identical to the unsharded build.
     """
     h, w = wr.shape[0], wr.shape[1] + 1
     n = h * w
@@ -130,8 +137,24 @@ def boruvka_mst(wr: jnp.ndarray, wd: jnp.ndarray) -> jnp.ndarray:
                         jnp.pad(kr, ((0, 0), (1, 0)), constant_values=big_w)),
             jnp.minimum(jnp.pad(kd, ((0, 1), (0, 0)), constant_values=big_w),
                         jnp.pad(kd, ((1, 0), (0, 0)), constant_values=big_w)))
-        minkey = jax.ops.segment_min(node_key.reshape(-1), comp,
-                                     num_segments=n)
+        if row_axis is None or h % jax.lax.axis_size(row_axis):
+            minkey = jax.ops.segment_min(node_key.reshape(-1), comp,
+                                         num_segments=n)
+            if row_axis is not None:
+                # replicated compute still needs identical results per
+                # shard; pmin is then a no-op value-wise
+                minkey = jax.lax.pmin(minkey, row_axis)
+        else:
+            # distributed round: my row band's per-component minima, merged
+            # across shards (pmin over components touching several bands)
+            nb = jax.lax.axis_size(row_axis)
+            hb = h // nb
+            r0 = jax.lax.axis_index(row_axis) * hb
+            nk = jax.lax.dynamic_slice(node_key, (r0, 0), (hb, w))
+            cb = jax.lax.dynamic_slice(c2, (r0, 0), (hb, w))
+            minkey = jax.ops.segment_min(nk.reshape(-1), cb.reshape(-1),
+                                         num_segments=n)
+            minkey = jax.lax.pmin(minkey, row_axis)
         mine = jnp.where(minkey < big_w, minkey & ((1 << idx_bits) - 1), big_i)
         has = mine < big_i
 
@@ -301,10 +324,14 @@ def root_tree(in_mst: jnp.ndarray, wr: jnp.ndarray, wd: jnp.ndarray) -> RootedTr
     return RootedTree(parent=parent, weight=weight, shape=(h, w))
 
 
-def build_tree(image: jnp.ndarray, prefilter: bool = True) -> RootedTree:
-    """Full pipeline: image -> edge weights -> Borůvka -> rooted tree."""
+def build_tree(image: jnp.ndarray, prefilter: bool = True,
+               row_axis: str = None) -> RootedTree:
+    """Full pipeline: image -> edge weights -> Borůvka -> rooted tree.
+
+    ``row_axis``: distribute each Borůvka round's segment-min over row
+    bands of that mesh axis (see :func:`boruvka_mst`)."""
     wr, wd = grid_edge_weights(image, prefilter)
-    in_mst = boruvka_mst(wr, wd)
+    in_mst = boruvka_mst(wr, wd, row_axis)
     return root_tree(in_mst, wr, wd)
 
 

@@ -17,13 +17,22 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
 def make_mesh(n_row: Optional[int] = None, n_data: int = 1,
+              n_disp: int = 1,
               devices: Optional[Sequence] = None) -> Mesh:
-    """Mesh over ('data', 'row'). Defaults: all devices on the row axis."""
+    """Mesh over ('data', 'row'[, 'disp']). Defaults: all devices on the
+    row axis. With n_disp > 1 the volume-building stage additionally
+    shards the DISPARITY axis (SURVEY §2.7 disparity-block parallelism —
+    bounds the per-device [4, D, H, W] intersected-arm tensor); the mesh
+    gains a trailing 'disp' axis."""
     devs = list(devices if devices is not None else jax.devices())
     if n_row is None:
-        n_row = len(devs) // n_data
-    assert n_data * n_row <= len(devs), (n_data, n_row, len(devs))
-    arr = np.array(devs[: n_data * n_row]).reshape(n_data, n_row)
+        n_row = len(devs) // (n_data * n_disp)
+    total = n_data * n_row * n_disp
+    assert total <= len(devs), (n_data, n_row, n_disp, len(devs))
+    if n_disp > 1:
+        arr = np.array(devs[:total]).reshape(n_data, n_row, n_disp)
+        return Mesh(arr, ("data", "row", "disp"))
+    arr = np.array(devs[:total]).reshape(n_data, n_row)
     return Mesh(arr, ("data", "row"))
 
 

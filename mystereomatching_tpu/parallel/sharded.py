@@ -56,34 +56,26 @@ def _cost_halo(cfg: MatchConfig) -> int:
     return h
 
 
-def _vertical_sgm_band(vol, pscale, down: bool, p1, p2, n_chunks: int):
-    """Wavefront-pipelined vertical SGM scan over row bands.
+def _wavefront_scan(voln, psn, order_idx, perm, p1, p2, n_chunks: int,
+                    mask=None, p_axis: str = "row"):
+    """Chunked-wavefront downward scan over row bands (normalized frame).
 
-    vol: local [D, h, W]; pscale: [h, W] for this direction (predecessor
-    row diff, from a 1-row image halo). ``down``: scan top->bottom
-    (predecessor above) vs bottom->top. Exact equivalent of the dense
-    vertical costScan across the full image height.
+    voln: local [D, h, Ws] already oriented so the scan runs top->bottom in
+    band order ``order_idx`` (0 scans first); ``perm`` routes each band's
+    boundary Lr row to the next band in that order. mask: optional
+    [h, Ws] in-image mask (skewed diagonal buffers). Device p runs chunk c
+    of the W axis at step t = c + p — wavefront efficiency C/(C+P-1).
     """
-    d_, h, w = vol.shape
-    p_axis = "row"
-    n_dev = lax.axis_size(p_axis)
-    my = lax.axis_index(p_axis)
-
-    # orientation: normalize to a downward scan
-    voln = vol if down else vol[:, ::-1]
-    psn = pscale if down else pscale[::-1]
-    # device order reverses for upward scans
-    order_idx = my if down else (n_dev - 1 - my)
-
+    d_, h, w = voln.shape
     cw = -(-w // n_chunks)
     wpad = cw * n_chunks
     volp = jnp.pad(voln, ((0, 0), (0, 0), (0, wpad - w)))
     psp = jnp.pad(psn, ((0, 0), (0, wpad - w)), constant_values=1.0)
+    maskp = (jnp.pad(mask, ((0, 0), (0, wpad - w)))
+             if mask is not None else None)
 
     out = volp * 0
     state = volp[:, 0, :cw] * 0                  # boundary Lr for next chunk
-    perm = [(i, i + 1) for i in range(n_dev - 1)] if down else \
-           [(i, i - 1) for i in range(1, n_dev)]
 
     def step(t, carry):
         out, state = carry
@@ -92,14 +84,19 @@ def _vertical_sgm_band(vol, pscale, down: bool, p1, p2, n_chunks: int):
         active = (c >= 0) & (c < n_chunks)
         chunk = lax.dynamic_slice(volp, (0, 0, cc * cw), (d_, h, cw))
         psc = lax.dynamic_slice(psp, (0, cc * cw), (h, cw))
+        mc = (lax.dynamic_slice(maskp, (0, cc * cw), (h, cw))
+              if maskp is not None else None)
         init = jnp.where(order_idx == 0, jnp.zeros_like(state), state)
         from mystereomatching_tpu.ops import pallas_kernels as pk
 
         if pk.tpu_backend():
-            res = pk.sgm_scan_pallas(chunk[None], psc[None], p1=p1, p2=p2,
-                                     init=init[None])[0]
+            res = pk.sgm_scan_pallas(
+                chunk[None], psc[None],
+                mc[None] if mc is not None else None,
+                p1=p1, p2=p2, init=init[None])[0]
         else:
-            res = sgm_ops._scan_down(chunk, psc, p1, p2, init=init)
+            res = sgm_ops._scan_down(chunk, psc, p1, p2, in_image=mc,
+                                     init=init)
         out = jnp.where(active,
                         lax.dynamic_update_slice(out, res, (0, 0, cc * cw)),
                         out)
@@ -107,34 +104,173 @@ def _vertical_sgm_band(vol, pscale, down: bool, p1, p2, n_chunks: int):
         state = lax.ppermute(boundary, p_axis, perm)
         return out, state
 
+    n_dev = lax.axis_size(p_axis)
     out, _ = lax.fori_loop(0, n_chunks + n_dev - 1, step, (out, state))
-    out = out[:, :, :w]
+    return out[:, :, :w]
+
+
+def _band_order(down: bool, p_axis: str = "row"):
+    """(order_idx, boundary perm) for a scan running down (band 0 first)
+    or up (last band first)."""
+    n_dev = lax.axis_size(p_axis)
+    my = lax.axis_index(p_axis)
+    if down:
+        return my, [(i, i + 1) for i in range(n_dev - 1)]
+    return n_dev - 1 - my, [(i, i - 1) for i in range(1, n_dev)]
+
+
+def _vertical_sgm_band(vol, pscale, down: bool, p1, p2, n_chunks: int):
+    """Wavefront-pipelined vertical SGM scan over row bands.
+
+    vol: local [D, h, W]; pscale: [h, W] for this direction (predecessor
+    row diff, from a 1-row image halo). ``down``: scan top->bottom
+    (predecessor above) vs bottom->top. Exact equivalent of the dense
+    vertical costScan across the full image height.
+    """
+    voln = vol if down else vol[:, ::-1]
+    psn = pscale if down else pscale[::-1]
+    order_idx, perm = _band_order(down)
+    out = _wavefront_scan(voln, psn, order_idx, perm, p1, p2, n_chunks)
     return out if down else out[:, ::-1]
 
 
-def _sgm_sharded(vol, image, cfg: MatchConfig, n_chunks: int):
-    """4-direction SGM on a row band: horizontal local, vertical wavefront."""
+def _diag_sgm_band(vol, pscale, rv: int, ru: int, p1, p2, n_chunks: int):
+    """Wavefront-pipelined DIAGONAL SGM scan over row bands.
+
+    Same trick as the dense path (ops/sgm.py): skew rows so the diagonal
+    predecessor becomes the vertical predecessor — but with the skew offset
+    driven by the GLOBAL row index, so the boundary row a band passes down
+    lands on the next band's first row at the same skewed column (= same
+    image diagonal). Local skew + a band-constant column roll; the skewed
+    width W + H_global - 1 is static. Reuses the vertical wavefront
+    (Pallas kernel on TPU) with the in-image mask masking the skew margins
+    (scan-edge semantics at picture corners, like the dense diagonals).
+    """
+    d_, h, w = vol.shape
+    p_axis = "row"
+    n_dev = lax.axis_size(p_axis)
+    hg = n_dev * h
+
+    down = rv < 0                        # scan runs opposite the predecessor
+    volF = vol if down else vol[:, ::-1]
+    psF = pscale if down else pscale[::-1]
+    order_idx, perm = _band_order(down)
+    g0 = order_idx * h                   # global row offset in scan frame
+
+    sign = 1 if ru > 0 else -1
+    volS, ok = sgm_ops._skew(volF, sign, 0.0)
+    psS, _ = sgm_ops._skew(psF, sign, 1.0)
+    okS = ok.astype(volS.dtype)
+
+    ws = w + hg - 1
+    grow = ws - volS.shape[-1]           # = hg - h
+    volS = jnp.pad(volS, ((0, 0), (0, 0), (0, grow)))
+    psS = jnp.pad(psS, ((0, 0), (0, grow)), constant_values=1.0)
+    okS = jnp.pad(okS, ((0, 0), (0, grow)))
+    # band-constant column roll aligning local skew with the global one:
+    # sign +1: col = u + g  -> roll by g0; sign -1: col = u + (Hg-1-g)
+    # -> local skew gives u + (h-1-i), roll by Hg-1-g0-(h-1)
+    r0 = g0 if sign > 0 else (hg - 1 - g0 - (h - 1))
+    volS = jnp.roll(volS, r0, axis=-1)
+    psS = jnp.roll(psS, r0, axis=-1)
+    okS = jnp.roll(okS, r0, axis=-1)
+
+    outS = _wavefront_scan(volS, psS, order_idx, perm, p1, p2, n_chunks,
+                           mask=okS)
+    outS = jnp.roll(outS, -r0, axis=-1)[:, :, : w + h - 1]
+    outF = sgm_ops._unskew(outS, sign, w)
+    return outF if down else outF[:, ::-1]
+
+
+def _band_pscale(image, rv: int, ru: int, thres, coeff):
+    """penalty_scale for a row band: the vertical part of the predecessor
+    offset comes from a 1-row image halo; the horizontal part is a local
+    roll (column wrap only mis-scales scan-edge pixels, whose Lr=C
+    regardless — same benign wrap as the dense penalty_scale)."""
     img_ext = exchange_rows(image, 1, row_axis=0, pad_mode="edge")
     imgf = img_ext.astype(jnp.float32)
-    # pscale rows: down-scan predecessor is the row above (h:2219-2230)
-    d_up = jnp.max(jnp.abs(imgf[1:-1] - imgf[:-2]), axis=-1)     # vs row above
-    d_dn = jnp.max(jnp.abs(imgf[1:-1] - imgf[2:]), axis=-1)      # vs row below
-    scale_up = jnp.where(d_up > cfg.sgm_cor_dif_thres, 1.0 / cfg.sgm_redu_coeff, 1.0)
-    scale_dn = jnp.where(d_dn > cfg.sgm_cor_dif_thres, 1.0 / cfg.sgm_redu_coeff, 1.0)
+    shifted = jnp.roll(imgf, shift=(-rv, -ru), axis=(0, 1))
+    d1 = jnp.max(jnp.abs(imgf - shifted), axis=-1)[1:-1]
+    return jnp.where(d1 > thres, 1.0 / coeff, 1.0)
+
+
+def _sgm_sharded(vol, image, cfg: MatchConfig, n_chunks: int):
+    """SGM on a row band: horizontal scans local, vertical (and, for the
+    8-direction configs, diagonal) scans wavefront-pipelined across bands.
+    Reference direction set: cpp:6206-6214."""
+    p1, p2 = cfg.sgm_p1, cfg.sgm_p2
+    thres, coeff = cfg.sgm_cor_dif_thres, cfg.sgm_redu_coeff
 
     out = jnp.zeros_like(vol)
     # vertical: predecessor above (-1,0) scans down; (1,0) scans up
-    out = out + _vertical_sgm_band(vol, scale_up, True, cfg.sgm_p1, cfg.sgm_p2, n_chunks)
-    out = out + _vertical_sgm_band(vol, scale_dn, False, cfg.sgm_p1, cfg.sgm_p2, n_chunks)
+    out = out + _vertical_sgm_band(
+        vol, _band_pscale(image, -1, 0, thres, coeff), True, p1, p2, n_chunks)
+    out = out + _vertical_sgm_band(
+        vol, _band_pscale(image, 1, 0, thres, coeff), False, p1, p2, n_chunks)
     # horizontal: row-local (batched into one kernel on TPU)
     out = out + sgm_ops.sgm_directions(
-        [vol], [image], ((0, 1), (0, -1)), cfg.sgm_p1, cfg.sgm_p2,
-        cfg.sgm_cor_dif_thres, cfg.sgm_redu_coeff)[0]
+        [vol], [image], ((0, 1), (0, -1)), p1, p2, thres, coeff)[0]
+    if cfg.sgm_scan_num >= 8:
+        for rv, ru in ((1, -1), (1, 1), (-1, 1), (-1, -1)):
+            out = out + _diag_sgm_band(
+                vol, _band_pscale(image, rv, ru, thres, coeff), rv, ru,
+                p1, p2, n_chunks)
     return out
 
 
-def _match_pair_band(left, right, cfg: MatchConfig, n_chunks: int):
-    """Per-band pipeline body (runs inside shard_map over 'row')."""
+def _true_border_arm_clamp(arms: jnp.ndarray, halo: int, min_arm: int,
+                           axis_name: str = "row") -> jnp.ndarray:
+    """Clamp vertical arms of a halo-extended band to the TRUE picture
+    borders. ``cross_arms`` on an extended band sees reflect-101 halo rows
+    as real pixels, so a pixel at true image row 0 can grow an up-arm into
+    them — the dense path's PAD_FAIL stops it at the border. Equivalent to
+    the dense semantics: arm = max(min(raw, dist), min(min_arm, dist))
+    with dist the distance to the true border (raw and dense growth agree
+    up to dist because the halo rows ARE the reflect-101 values the dense
+    pad would produce)."""
+    idx = lax.axis_index(axis_name)
+    n = lax.axis_size(axis_name)
+    hext = arms.shape[1]
+    h = hext - 2 * halo
+    g = idx * h + jnp.arange(hext, dtype=jnp.int32) - halo   # global row
+    hg = n * h
+    dist_u = jnp.clip(g, 0, None)[:, None]
+    dist_d = jnp.clip(hg - 1 - g, 0, None)[:, None]
+
+    def cl(a, dist):
+        return jnp.maximum(jnp.minimum(a, dist),
+                           jnp.minimum(jnp.int32(min_arm), dist))
+
+    return jnp.stack([arms[0], arms[1], cl(arms[2], dist_u),
+                      cl(arms[3], dist_d)])
+
+
+def _band_grad_y(gray_ext: jnp.ndarray, halo: int,
+                 axis_name: str = "row") -> jnp.ndarray:
+    """y-gradient of a halo-extended band matching the dense
+    ``central_gradient`` bit-for-bit: central differences everywhere, with
+    the one-sided edge rows at the TRUE picture borders (the band's own
+    array edges sit halo rows away, inside the exactness margin)."""
+    from mystereomatching_tpu.ops.cost import central_gradient
+
+    g = central_gradient(gray_ext, 0)
+    hext = gray_ext.shape[0]
+    h = hext - 2 * halo
+    idx = lax.axis_index(axis_name)
+    n = lax.axis_size(axis_name)
+    grow = idx * h + jnp.arange(hext, dtype=jnp.int32) - halo
+    hg = n * h
+    diff = gray_ext[1:] - gray_ext[:-1]
+    down = jnp.concatenate([diff, jnp.zeros_like(gray_ext[:1])], 0)
+    up = jnp.concatenate([jnp.zeros_like(gray_ext[:1]), diff], 0)
+    g = jnp.where((grow == 0)[:, None], down, g)
+    return jnp.where((grow == hg - 1)[:, None], up, g)
+
+
+def _match_pair_band(left, right, cfg: MatchConfig, n_chunks: int,
+                     d_shard: bool = False):
+    """Per-band pipeline body (runs inside shard_map over 'row'; with
+    ``d_shard`` also over 'disp' for the volume-building stage)."""
     halo = _cost_halo(cfg)
     left_ext = exchange_rows(left, halo, row_axis=0, pad_mode="reflect101")
     right_ext = exchange_rows(right, halo, row_axis=0, pad_mode="reflect101")
@@ -147,30 +283,61 @@ def _match_pair_band(left, right, cfg: MatchConfig, n_chunks: int):
     arms_pair = (None, None)
     if need_arms:
         arms_pair = tuple(
-            arms_ops.cross_arms(img, cfg.cbca_cross_l, cfg.cbca_cross_l_out,
-                                cfg.cbca_c_thresh, cfg.cbca_c_thresh_out,
-                                cfg.cbca_min_arm)
+            _true_border_arm_clamp(arms_ops.build_arms(img, cfg), halo,
+                                   cfg.cbca_min_arm)
             for img in (left_ext, right_ext))
+    gy_pair = None
+    if cfg.cost in ("grad", "census_grad", "ad_grad",
+                    "ad_census_grad") and cfg.grad_use_2dir:
+        gy_pair = (_band_grad_y(gl, halo), _band_grad_y(gr, halo))
 
     n_imgs = 2 if (cfg.compute_both_volumes and cfg.do_lr_consis) else 1
     vols = {}
     for lor in range(n_imgs):
-        vol = cost_ops.compute_cost_volume(left_ext, right_ext, gl, gr, cfg,
-                                           lor, arms=arms_pair[lor])
-        if cfg.aggregation == "cbca":
-            arms_int = arms_ops.intersect_arms(arms_pair[0], arms_pair[1],
-                                               cfg.num_disp, lor)
-            from mystereomatching_tpu.ops.aggregation import cbca
+        if d_shard:
+            # disparity-block parallelism (SURVEY §2.7): each 'disp' device
+            # builds cost + CBCA for its D-block (the D-streaming builders
+            # bound the [4, Db, H, W] arm tensor per device), then the full
+            # volume is reassembled along ICI for the optimization stage
+            nd_dev = lax.axis_size("disp")
+            db = cfg.num_disp // nd_dev
+            ds = lax.axis_index("disp") * db + jnp.arange(db,
+                                                          dtype=jnp.int32)
+            blk = cost_ops.block_cost_builder(
+                left_ext, right_ext, gl, gr, cfg, lor,
+                arms=arms_pair[lor], grad_y_pair=gy_pair)(ds)
+            if cfg.aggregation == "cbca":
+                from mystereomatching_tpu.ops.aggregation import cbca
 
-            vol = cbca(vol, arms_int, cfg.cbca_iterations,
-                       max_arm=cfg.cbca_cross_l_out)
-        elif cfg.aggregation == "bf":
-            from mystereomatching_tpu.ops.aggregation import box_filter_volume
+                arms_int = arms_ops.intersect_arms_block(
+                    arms_pair[0], arms_pair[1], ds, lor)
+                blk = cbca(blk, arms_int, cfg.cbca_iterations,
+                           max_arm=cfg.arm_l_out)
+            elif cfg.aggregation != "none":
+                raise NotImplementedError(
+                    f"D-sharded aggregation {cfg.aggregation!r} unsupported")
+            vol = lax.all_gather(blk, "disp", axis=0, tiled=True)
+        else:
+            vol = cost_ops.compute_cost_volume(left_ext, right_ext, gl, gr,
+                                               cfg, lor,
+                                               arms=arms_pair[lor],
+                                               grad_y_pair=gy_pair)
+            if cfg.aggregation == "cbca":
+                arms_int = arms_ops.intersect_arms(arms_pair[0],
+                                                   arms_pair[1],
+                                                   cfg.num_disp, lor)
+                from mystereomatching_tpu.ops.aggregation import cbca
 
-            vol = box_filter_volume(vol, cfg.bf_radius)
-        elif cfg.aggregation != "none":
-            raise NotImplementedError(
-                f"sharded aggregation {cfg.aggregation!r} not yet supported")
+                vol = cbca(vol, arms_int, cfg.cbca_iterations,
+                           max_arm=cfg.arm_l_out)
+            elif cfg.aggregation == "bf":
+                from mystereomatching_tpu.ops.aggregation import (
+                    box_filter_volume)
+
+                vol = box_filter_volume(vol, cfg.bf_radius)
+            elif cfg.aggregation != "none":
+                raise NotImplementedError(
+                    f"sharded aggregation {cfg.aggregation!r} not supported")
         vols[lor] = crop_rows(vol, halo, row_axis=1)
 
     # --- optimization ---
@@ -199,7 +366,7 @@ def _match_pair_band(left, right, cfg: MatchConfig, n_chunks: int):
             d_ext = refine_ops.region_vote(d_ext, arms0, cfg.num_disp,
                                            cfg.rv_s_thres, cfg.rv_h_ratio,
                                            cfg.rv_int_ratio_quirk,
-                                           max_arm=cfg.cbca_cross_l_out)
+                                           max_arm=cfg.arm_l_out)
             d = crop_rows(d_ext, hr, row_axis=0)
     if cfg.do_proper_ipol:
         hp = 2 * cfg.pi_search_depth
@@ -229,15 +396,40 @@ def sharded_match_pair(
 ) -> jnp.ndarray:
     """Batched, sharded pipeline. left/right: [B, H, W, 3] float32.
 
-    B shards over 'data', H over 'row'. Returns [B, H, W] disparity.
+    B shards over 'data', H over 'row'; when the mesh has a 'disp' axis,
+    the volume-building stage additionally shards the disparity axis
+    (inputs replicated over 'disp', the aggregated volume all_gathered
+    back). Returns [B, H, W] disparity.
     """
-    band = functools.partial(_match_pair_band, cfg=cfg, n_chunks=n_chunks)
+    d_shard = "disp" in mesh.axis_names
+    if d_shard:
+        n_dd = mesh.shape["disp"]
+        if cfg.num_disp % n_dd:
+            raise ValueError(
+                f"num_disp={cfg.num_disp} must divide over the 'disp' axis "
+                f"({n_dd} devices)")
+    band = functools.partial(_match_pair_band, cfg=cfg, n_chunks=n_chunks,
+                             d_shard=d_shard)
 
     def local(lb, rb):
         # lb: [B_loc, h_loc, W, 3]
         return jax.vmap(band)(lb, rb)
 
-    fn = shard_map(local, mesh=mesh,
-                   in_specs=(P("data", "row"), P("data", "row")),
-                   out_specs=P("data", "row"))
+    kw = {}
+    if d_shard:
+        # the result IS replicated over 'disp' (everything after the
+        # all_gather is identical per disp-device), but the varying-axis
+        # tracker cannot prove it — disable the check
+        try:
+            fn = shard_map(local, mesh=mesh,
+                           in_specs=(P("data", "row"), P("data", "row")),
+                           out_specs=P("data", "row"), check_vma=False)
+        except TypeError:                      # older jax: check_rep
+            fn = shard_map(local, mesh=mesh,
+                           in_specs=(P("data", "row"), P("data", "row")),
+                           out_specs=P("data", "row"), check_rep=False)
+    else:
+        fn = shard_map(local, mesh=mesh,
+                       in_specs=(P("data", "row"), P("data", "row")),
+                       out_specs=P("data", "row"))
     return fn(left.astype(jnp.float32), right.astype(jnp.float32))

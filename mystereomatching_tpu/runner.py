@@ -89,10 +89,14 @@ def run_suite(
     synthetic: int = 0,
     out_dir: str = "results",
     resume: bool = True,
+    retries: int = 1,
     **cfg_kw,
 ) -> List[Dict[str, float]]:
     """Sweep over a dataset table (the reference's 33-object loop,
-    main_.cpp:75-191), resumable via the sweep CSV."""
+    main_.cpp:75-191), resumable via the sweep CSV. A failing object is
+    retried ``retries`` times, then journaled to <model>_failures.json and
+    skipped — the suite always completes (SURVEY §5 failure detection);
+    :func:`supervise` adds process isolation + hang watchdog on top."""
     csv_path = os.path.join(out_dir, f"{model}.csv")
     done = _done_objects(csv_path) if resume else set()
 
@@ -108,19 +112,90 @@ def run_suite(
                 print(f"[skip] {name}: files not found under {root}")
 
     rows = []
+    failures_path = os.path.join(out_dir, f"{model}_failures.json")
     for pair in pairs:
         if pair.name in done:
             print(f"[resume] {pair.name} already in {csv_path}")
             continue
         cfg = models.get_model(model, max_disp=pair.max_disp, **cfg_kw)
         t0 = time.perf_counter()
-        row = run_object(pair, cfg, out_dir)
+        row, err = None, None
+        for attempt in range(1 + max(retries, 0)):
+            try:
+                row = run_object(pair, cfg, out_dir)
+                break
+            except Exception as e:                  # noqa: BLE001 — the
+                # suite must survive a bad object / transient device error
+                err = e
+                print(f"[retry {attempt + 1}] {pair.name}: {e!r}")
+        if row is None:
+            _record_failure(failures_path, pair.name, repr(err))
+            print(f"[FAILED] {pair.name}: {err!r} (recorded, continuing)")
+            continue
         row["model"] = model
         imio.append_csv_row(csv_path, row)
         rows.append(row)
         print(f"{pair.name}: {json.dumps(row)} "
               f"({time.perf_counter() - t0:.1f}s total)")
     return rows
+
+
+def _record_failure(path: str, name: str, err: str) -> None:
+    data = {}
+    if os.path.exists(path):
+        with open(path) as f:
+            data = json.load(f)
+    data[name] = {"error": err, "time": time.time()}
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(path, "w") as f:
+        json.dump(data, f, indent=1)
+
+
+def supervise(model: str, objects: List[str], out_dir: str = "results",
+              timeout_s: float = 1200.0, max_restarts: int = 2,
+              python: str = None, extra_args: List[str] = None) -> int:
+    """Elastic supervisor (SURVEY §5 failure detection / restartable runs):
+    run each object in an ISOLATED worker process with a hang watchdog.
+
+    A worker that crashes or exceeds ``timeout_s`` (e.g. a wedged device
+    tunnel) is killed BY EXACT PID and the object retried up to
+    ``max_restarts`` times; the sweep CSV is the shared checkpoint, so
+    completed objects are never re-run (the resume set is re-read before
+    every launch). Returns the number of objects that never succeeded.
+    """
+    import subprocess
+    import sys as _sys
+
+    py = python or _sys.executable
+    csv_path = os.path.join(out_dir, f"{model}.csv")
+    failed = 0
+    for name in objects:
+        ok = False
+        for attempt in range(1 + max_restarts):
+            if name in _done_objects(csv_path):
+                ok = True
+                break
+            cmd = [py, "-m", "mystereomatching_tpu.runner", "--model", model,
+                   "--objects", name, "--out", out_dir]
+            cmd += list(extra_args or [])
+            proc = subprocess.Popen(cmd)
+            try:
+                rc = proc.wait(timeout=timeout_s)
+            except subprocess.TimeoutExpired:
+                proc.kill()                          # exact PID, never pattern
+                proc.wait()
+                print(f"[watchdog] {name}: killed after {timeout_s}s "
+                      f"(attempt {attempt + 1})")
+                continue
+            if rc == 0 and name in _done_objects(csv_path):
+                ok = True
+                break
+            print(f"[supervise] {name}: worker rc={rc} (attempt {attempt + 1})")
+        if not ok:
+            failed += 1
+            _record_failure(os.path.join(out_dir, f"{model}_failures.json"),
+                            name, "exhausted supervisor restarts")
+    return failed
 
 
 def main(argv=None):

@@ -49,11 +49,12 @@ def test_sharded_equals_dense(pair):
     rb = jnp.stack([right, right])
     sharded = np.asarray(sharded_match_pair(lb, rb, cfg, mesh, n_chunks=4))
 
-    # disparity-level equality (SURVEY §6: disparity equality after WTA,
-    # not float equality of volumes)
+    # disparity-level equality, bit-exact (round-1's 1% tolerance was
+    # root-caused to cross_arms on halo-extended bands ignoring the true
+    # picture borders — fixed by _true_border_arm_clamp)
     for b in range(2):
         mism = np.mean(sharded[b] != dense)
-        assert mism < 0.01, f"batch {b}: {mism:.4f} mismatching pixels"
+        assert mism == 0.0, f"batch {b}: {mism:.4f} mismatching pixels"
 
 
 def test_sharded_wta_only_exact(pair):
@@ -72,6 +73,66 @@ def test_sharded_wta_only_exact(pair):
     sharded = np.asarray(sharded_match_pair(left[None], right[None], cfg,
                                             mesh, n_chunks=2))[0]
     np.testing.assert_array_equal(sharded, dense)
+
+
+def test_sharded_sgm8_exact(pair):
+    """All 8 SGM directions across row bands (vertical + diagonal
+    wavefronts) must be bit-identical to the dense scans."""
+    import functools
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import PartitionSpec as P
+    try:
+        from jax import shard_map
+    except ImportError:
+        from jax.experimental.shard_map import shard_map
+    from mystereomatching_tpu.config import default_config
+    from mystereomatching_tpu.ops import sgm as sgm_ops
+    from mystereomatching_tpu.ops import cost as cost_ops
+    from mystereomatching_tpu.parallel.mesh import make_mesh
+    from mystereomatching_tpu.parallel import sharded as sh
+    from mystereomatching_tpu.pipeline import to_gray
+
+    cfg = default_config(max_disp=7, sgm_scan_num=8)
+    left = jnp.asarray(pair.left, jnp.float32)
+    right = jnp.asarray(pair.right, jnp.float32)
+    gl, gr = to_gray(left), to_gray(right)
+    vol = cost_ops.compute_cost_volume(left, right, gl, gr,
+                                       cfg.replace(cost="census"), 0)
+
+    dense = np.asarray(sgm_ops.sgm(vol, left, 8, cfg.sgm_p1, cfg.sgm_p2,
+                                   cfg.sgm_cor_dif_thres, cfg.sgm_redu_coeff))
+
+    mesh = make_mesh(n_row=4, n_data=1)
+    body = functools.partial(sh._sgm_sharded, cfg=cfg, n_chunks=4)
+    fn = shard_map(body, mesh=mesh,
+                   in_specs=(P(None, "row", None), P("row", None, None)),
+                   out_specs=P(None, "row", None))
+    with mesh:
+        got = np.asarray(fn(vol, left))
+    np.testing.assert_array_equal(got, dense)
+
+
+def test_dshard_equals_dense(pair):
+    """Disparity-block parallelism: mesh ('data','row','disp') with the
+    volume stage sharded over D must reproduce the dense disparity
+    bit-exactly."""
+    import jax.numpy as jnp
+    from mystereomatching_tpu.pipeline import match_pair
+    from mystereomatching_tpu.parallel.mesh import make_mesh
+    from mystereomatching_tpu.parallel.sharded import sharded_match_pair
+
+    cfg = _small_cfg()
+    left = jnp.asarray(pair.left, jnp.float32)
+    right = jnp.asarray(pair.right, jnp.float32)
+    dense = np.asarray(match_pair(left, right, cfg)["disparity"])
+
+    mesh = make_mesh(n_row=2, n_data=2, n_disp=2)
+    lb = jnp.stack([left, left])
+    rb = jnp.stack([right, right])
+    sharded = np.asarray(sharded_match_pair(lb, rb, cfg, mesh, n_chunks=2))
+    for b in range(2):
+        np.testing.assert_array_equal(sharded[b], dense)
 
 
 def test_dryrun_entrypoints():
