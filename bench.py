@@ -34,7 +34,50 @@ WARMUP = 2
 ITERS = 5
 
 
+def _probe_device(timeout_s: float = 150.0) -> bool:
+    """Check the TPU tunnel answers a trivial op, in an isolated subprocess
+    (a wedged axon remote-compile queue hangs EVERY jax call in-process —
+    see CLAUDE.md; probing in a child keeps this process clean)."""
+    import subprocess
+    import sys
+
+    code = ("import jax, jax.numpy as jnp;"
+            "print(float(jnp.sum(jnp.ones((64,64)))))")
+    try:
+        r = subprocess.run([sys.executable, "-c", code],
+                           timeout=timeout_s, capture_output=True)
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
+def wait_for_device(max_wait_s: float = 1500.0) -> bool:
+    """Poll until the device answers (the tunnel's wedge drains in
+    minutes); True if usable."""
+    import time as _t
+
+    deadline = _t.time() + max_wait_s
+    while True:
+        if _probe_device():
+            return True
+        if _t.time() > deadline:
+            return False
+        print("# device probe failed; retrying in 120s", flush=True)
+        _t.sleep(120)
+
+
 def main():
+    if not wait_for_device():
+        print(json.dumps({
+            "metric": "default_pipeline_throughput_teddy",
+            "value": 0.0,
+            "unit": "MP*disp/s per chip",
+            "vs_baseline": 0.0,
+            "error": "TPU tunnel unresponsive (probe timed out; see "
+                     "CLAUDE.md wedge notes) — no measurement this run",
+        }))
+        return
+
     import jax
     import jax.numpy as jnp
     import numpy as np
