@@ -616,6 +616,134 @@ def sgm_scan_pallas(vol: jnp.ndarray, pscale: jnp.ndarray,
     )(*args)
 
 
+def _sgm_diag_kernel(vol_ref, ps_ref, out_ref, carry, bnd, *, p1: float,
+                     p2: float, shift: int, reverse: bool, h_total: int,
+                     w_total: int, hc: int, wt: int, hp: int):
+    """Diagonal SGM scan over one [1, Hc, Wt, D] block, W on sublanes and
+    D on lanes (callers feed volumes transposed to [G, H, W, D]).
+
+    The diagonal predecessor (previous row, u -/+ 1) is the carried row
+    shifted one SUBLANE per row step — no skewed buffers. The value
+    entering the edge sublane comes from the neighboring W-tile through
+    ``bnd``, a ping-pong boundary scratch [2, Hp, D] indexed by global
+    row: tile ``wi`` writes its edge column per row into parity (wi+1)%2
+    and reads the upstream tile's rows from parity wi%2 (the grid walks
+    tiles upstream-first: left-to-right for shift=+1, right-to-left for
+    shift=-1, via the caller's index maps).
+
+    shift=+1: predecessor at u-1 (reference offsets ru=-1);
+    shift=-1: predecessor at u+1. ``reverse`` scans rows bottom-up.
+    Scan-edge semantics (Lr = C, h:2277-2279) fall out of zero vectors:
+    the carry starts zero, out-of-image boundary reads are masked to
+    zero, and sublanes past the image width are zeroed each row (which
+    also keeps the last tile's block-padding garbage from rolling into
+    valid lanes when shift=-1).
+    """
+    d_ = vol_ref.shape[3]
+    big = jnp.asarray(jnp.finfo(vol_ref.dtype).max, vol_ref.dtype)
+    big_col = jnp.full((wt, 1), big, vol_ref.dtype)
+    n_w = pl.num_programs(1)
+    n_h = pl.num_programs(2)
+    wi = pl.program_id(1)
+    hi = pl.program_id(2)
+
+    @pl.when(hi == 0)
+    def _():
+        carry[:] = jnp.zeros_like(carry)
+
+    block0 = ((n_h - 1 - hi) if reverse else hi) * hc
+    wtile = wi if shift > 0 else n_w - 1 - wi
+    wl = w_total - wtile * wt                  # in-image sublanes this tile
+    sub = jax.lax.broadcasted_iota(jnp.int32, (wt, 1), 0)
+    rd = wi % 2
+    wr = (wi + 1) % 2
+
+    def row_step(rs, prev):
+        r = (hc - 1 - rs) if reverse else rs
+        grow = block0 + r
+        prow = grow + (1 if reverse else -1)   # predecessor's global row
+        c = vol_ref[0, pl.ds(r, 1)][0]                   # [Wt, D]
+        ps = ps_ref[0, pl.ds(r, 1)][0]                   # [Wt, 1]
+        vec = bnd[rd, pl.ds(jnp.clip(prow, 0, hp - 1), 1), :]   # [1, D]
+        use_vec = (wi > 0) & (prow >= 0) & (prow < h_total)
+        vec = jnp.where(use_vec, vec, jnp.zeros_like(vec))
+        if shift > 0:
+            shifted = jnp.concatenate([vec, prev[:-1]], axis=0)
+        else:
+            shifted = jnp.concatenate([prev[1:], vec], axis=0)
+        min_l = jnp.min(shifted, axis=1, keepdims=True)  # [Wt, 1]
+        up = jnp.concatenate([big_col, shifted[:, :-1]], axis=1)
+        dn = jnp.concatenate([shifted[:, 1:], big_col], axis=1)
+        best = jnp.minimum(jnp.minimum(shifted, min_l + p2 * ps),
+                           jnp.minimum(up, dn) + p1 * ps)
+        l = (c + best - min_l).astype(prev.dtype)
+        l = jnp.where(sub < wl, l, jnp.zeros_like(l))
+        if reverse:
+            # padded tail rows (met first bottom-up) are scan-inert
+            l = jnp.where(grow < h_total, l, prev)
+        out_ref[0, pl.ds(r, 1)] = l[None]
+        e = wt - 1 if shift > 0 else 0
+        bnd[wr, pl.ds(grow, 1), :] = l[e:e + 1, :]
+        return l
+
+    carry[:] = jax.lax.fori_loop(0, hc, row_step, carry[:])
+
+
+def sgm_diag_scan_pallas(volT: jnp.ndarray, psT: jnp.ndarray, shift: int,
+                         reverse: bool = False, p1: float = 1.0,
+                         p2: float = 3.0, interpret: bool = False,
+                         wt_override: int = 0,
+                         hc_override: int = 0) -> jnp.ndarray:
+    """Batched diagonal SGM path-cost scan without skewed buffers.
+
+    volT: [G, H, W, D] cost volumes TRANSPOSED so W rides sublanes and D
+    rides lanes; psT: [G, H, W, 1] per-pixel penalty multiplier. Returns
+    [G, H, W, D] L_r for predecessor (rv, ru) with reverse = rv > 0 and
+    shift = -ru. Values are bit-identical to ops/sgm.scan_direction (the
+    skew formulation) — only the data movement differs: the skew path
+    materializes ~1.75x-volume skew/unskew copies around a kernel that
+    touches 1.75x data; this kernel reads and writes the volume once.
+    """
+    g, h, w, d_ = volT.shape
+    budget = 10 * 1024 * 1024
+    hc = 8
+    # blocks (in+out, double-buffered) + bnd scratch share scoped VMEM
+    wt = _cdiv(w, 8) * 8
+    while wt > 8 and 4 * hc * wt * d_ * 4 + 2 * (h + hc) * d_ * 4 > budget:
+        wt -= 8
+    if wt_override:
+        wt = min(wt_override, _cdiv(w, 8) * 8)
+    if hc_override:
+        hc = hc_override
+    nh = _cdiv(h, hc)
+    nw = _cdiv(w, wt)
+    hp = nh * hc
+    grid = (g, nw, nh)
+    hix = (lambda hi: nh - 1 - hi) if reverse else (lambda hi: hi)
+    wix = (lambda wi: wi) if shift > 0 else (lambda wi: nw - 1 - wi)
+    vol_spec = pl.BlockSpec((1, hc, wt, d_),
+                            lambda gi, wi, hi: (gi, hix(hi), wix(wi), 0),
+                            memory_space=pltpu.VMEM)
+    ps_spec = pl.BlockSpec((1, hc, wt, 1),
+                           lambda gi, wi, hi: (gi, hix(hi), wix(wi), 0),
+                           memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_sgm_diag_kernel, p1=p1, p2=p2,
+                          shift=shift, reverse=reverse, h_total=h,
+                          w_total=w, hc=hc, wt=wt, hp=hp),
+        grid=grid,
+        in_specs=[vol_spec, ps_spec],
+        out_specs=vol_spec,
+        out_shape=jax.ShapeDtypeStruct(volT.shape, volT.dtype),
+        scratch_shapes=[pltpu.VMEM((wt, d_), volT.dtype),
+                        pltpu.VMEM((2, hp, d_), volT.dtype)],
+        cost_estimate=pl.CostEstimate(
+            flops=volT.size * 12, bytes_accessed=volT.size * 8,
+            transcendentals=0),
+        interpret=interpret,
+    )(volT, psT)
+
+
 def arm_bounded_sum_pallas(
     vol: jnp.ndarray,
     arm_neg: jnp.ndarray,

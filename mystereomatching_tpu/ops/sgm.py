@@ -211,10 +211,17 @@ def sgm_directions(vol_list, img_list, dirs, p1: float = 1.0,
     out = [jnp.zeros_like(v) for v in vol_list]
 
     if use_pallas:
+        import os
         # Group by (orientation, scan direction): reverse-capable kernels
         # scan bottom-up in place, so no flipped input/output copies ever
-        # materialize (for diagonals the flip folds into the skew sign:
-        # skew(flip(x), s) == flip(skew(x, -s))).
+        # materialize. Diagonals run the lane-roll kernel on [H, W, D]
+        # transposed volumes (sgm_diag_scan_pallas): no skewed buffers, so
+        # each diagonal touches 1x the volume instead of ~1.75x plus
+        # materialized skew/unskew copies; the transpose in and out is paid
+        # ONCE per volume, shared by all four diagonals which accumulate in
+        # transposed space. MYSM_NO_DIAGROLL=1 restores the skew kernels
+        # (for diagnosing Mosaic lowering regressions on new toolchains).
+        use_roll = not os.environ.get("MYSM_NO_DIAGROLL")
         groups = {}
         for i in range(n):
             vol, image = vol_list[i], img_list[i]
@@ -227,6 +234,9 @@ def sgm_directions(vol_list, img_list, dirs, p1: float = 1.0,
                     groups.setdefault(("h", ru > 0), []).append(
                         (i, jnp.swapaxes(vol, 1, 2), jnp.swapaxes(p, 0, 1),
                          None, None))
+                elif use_roll:
+                    groups.setdefault(("t", rv > 0, -ru), []).append(
+                        (i, p[..., None], None, None, None))
                 else:
                     sign = 1 if ru > 0 else -1
                     s2 = -sign if rv > 0 else sign
@@ -234,11 +244,33 @@ def sgm_directions(vol_list, img_list, dirs, p1: float = 1.0,
                     pS, _ = _skew(p, s2, 1.0)
                     groups.setdefault(("d", rv > 0), []).append(
                         (i, vS, pS, ok, s2))
-        # the two horizontal directions accumulate in TRANSPOSED space and
-        # swap back once per volume (saves one [D,W,H] transpose each; the
-        # XLA fallback below mirrors the same summation association)
+        # transpose each diagonal-participating volume to [H, W, D] once
+        volT = {}
+        for key, items in groups.items():
+            if key[0] == "t":
+                for it in items:
+                    i = it[0]
+                    if i not in volT:
+                        volT[i] = jnp.transpose(vol_list[i], (1, 2, 0))
+        # horizontal directions accumulate in TRANSPOSED [D,W,H] space and
+        # swap back once per volume; diagonals accumulate in [H,W,D] space
+        # likewise (the XLA fallback's association differs only across
+        # directions — per-direction values are bit-identical)
         h_acc = {}
-        for (kind, rev), items in groups.items():
+        t_acc = {}
+        for key, items in groups.items():
+            kind = key[0]
+            if kind == "t":
+                _, rev, shift = key
+                volS = jnp.stack([volT[it[0]] for it in items])
+                psS = jnp.stack([it[1] for it in items])
+                res = pk.sgm_diag_scan_pallas(volS, psS, shift=shift,
+                                              reverse=rev, p1=p1, p2=p2)
+                for j, it in enumerate(items):
+                    i = it[0]
+                    t_acc[i] = res[j] if i not in t_acc else t_acc[i] + res[j]
+                continue
+            rev = key[1]
             volS = jnp.stack([it[1] for it in items])
             psS = jnp.stack([it[2] for it in items])
             maskS = (jnp.stack([it[3] for it in items])
@@ -252,6 +284,8 @@ def sgm_directions(vol_list, img_list, dirs, p1: float = 1.0,
                 if kind == "d":
                     r = _unskew(r, s2, vol_list[i].shape[-1])
                 out[i] = out[i] + r
+        for i, rt in t_acc.items():
+            out[i] = out[i] + jnp.transpose(rt, (2, 0, 1))
         for i, rt in h_acc.items():
             out[i] = out[i] + jnp.swapaxes(rt, 1, 2)
         return out

@@ -199,3 +199,45 @@ def test_sgm_scan_pallas_reverse(rng):
                            interpret=True)[:, :, ::-1]
     got = sgm_scan_pallas(vol, ps, reverse=True, interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-6)
+
+
+@pytest.mark.parametrize("rv,ru", [(1, -1), (1, 1), (-1, 1), (-1, -1)])
+def test_sgm_diag_roll_matches_scan_direction(rng, rv, ru):
+    """Lane-roll diagonal kernel == the skew formulation, bit for bit,
+    across W-tile seams (wt_override=8) and a padded last H chunk."""
+    from mystereomatching_tpu.ops import sgm as S
+    from mystereomatching_tpu.ops.pallas_kernels import sgm_diag_scan_pallas
+
+    d_, h, w = 5, 21, 30          # h, w NOT multiples of chunk/tile
+    vol = jnp.asarray(rng.random((d_, h, w)), jnp.float32)
+    img = jnp.asarray(rng.random((h, w, 3)) * 255, jnp.float32)
+    want = np.asarray(S.scan_direction(vol, img, rv, ru, 1.0, 3.0, 15, 4.0))
+    ps = S.penalty_scale(img, rv, ru, 15, 4.0)
+    volT = jnp.transpose(vol, (1, 2, 0))[None]
+    psT = ps[..., None][None]
+    got = sgm_diag_scan_pallas(volT, psT, shift=-ru, reverse=rv > 0,
+                               interpret=True, wt_override=8)
+    got = np.asarray(jnp.transpose(got[0], (2, 0, 1)))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_sgm_diag_roll_batched_single_tile(rng):
+    """g-batched volumes, single W tile, h a chunk multiple."""
+    from mystereomatching_tpu.ops import sgm as S
+    from mystereomatching_tpu.ops.pallas_kernels import sgm_diag_scan_pallas
+
+    d_, h, w = 4, 16, 12
+    vol = jnp.asarray(rng.random((2, d_, h, w)), jnp.float32)
+    ps = jnp.asarray(rng.random((2, h, w)), jnp.float32)
+    volT = jnp.transpose(vol, (0, 2, 3, 1))
+    psT = ps[..., None]
+    got = sgm_diag_scan_pallas(volT, psT, shift=1, reverse=False,
+                               interpret=True)
+    got = np.asarray(jnp.transpose(got, (0, 3, 1, 2)))
+    for g in range(2):
+        # shift=+1 == predecessor (v-1, u-1): skew formulation per volume
+        volS, ok = S._skew(vol[g], -1, 0.0)
+        psS, _ = S._skew(ps[g], -1, 1.0)
+        outS = S._scan_down(volS, psS, 1.0, 3.0, in_image=ok)
+        want = np.asarray(S._unskew(outS, -1, w))
+        np.testing.assert_array_equal(got[g], want)
