@@ -19,7 +19,16 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 import functools
 import json
+import os
 import time
+
+# Persistent XLA compile cache: first-compile of the full pipeline is
+# minutes (remote Mosaic compiles over the tunnel); cache executables
+# across processes when the backend supports serialization (harmless
+# no-op with a warning when it does not). Must be set before jax import.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1.0")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
 
 # Reference CPU baseline (MP·disp/s), measured via refbuild/refdriver on
 # teddy_scale (375x450, D=60): 3.06 s/frame.

@@ -10,7 +10,13 @@ hard-part 3 — the [4,D,H,W] intersected-arm tensor dominates).
 """
 
 import json
+import os
 import time
+
+# persistent compile cache (see bench.py) — set before jax import
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1.0")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
 
 import jax
 import jax.numpy as jnp
