@@ -77,14 +77,26 @@ def wait_for_device(max_wait_s: float = 1500.0) -> bool:
 
 def main():
     if not wait_for_device():
-        print(json.dumps({
+        row = {
             "metric": "default_pipeline_throughput_teddy",
             "value": 0.0,
             "unit": "MP*disp/s per chip",
             "vs_baseline": 0.0,
             "error": "TPU tunnel unresponsive (probe timed out; see "
                      "CLAUDE.md wedge notes) — no measurement this run",
-        }))
+        }
+        # attach the last chip-measured headline so an infra outage at
+        # bench time is distinguishable from a perf regression
+        try:
+            with open(os.path.join(os.path.dirname(__file__),
+                                   "BENCH_DETAIL.json")) as f:
+                detail = json.load(f)
+            head = [d for d in detail if "headline" in d]
+            if head:
+                row["last_measured_headline"] = head[0]["headline"]
+        except Exception:
+            pass
+        print(json.dumps(row))
         return
 
     import jax

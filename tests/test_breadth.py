@@ -244,3 +244,31 @@ def test_save_and_top_diagnostics(tmp_path, rng):
     D.top_candidates_csv(str(tmp_path / "top.csv"), cd,
                          rng.random((16, 20, 3)), gt, stride=8)
     assert (tmp_path / "top.csv").read_text().count("\n") > 1
+
+
+def test_middlebury_loader_roundtrip(tmp_path, small_pair):
+    """End-to-end exercise of the Middlebury directory loader
+    (main_.cpp:92-129 semantics): write a synthetic pair as a
+    teddy-layout object dir (im2/im6/disp2 + nonocc mask), load it back,
+    and check images, GT scaling (/coeff=4), and mask decoding."""
+    import numpy as np
+    from mystereomatching_tpu.data import load_middlebury_object
+    from mystereomatching_tpu.utils.imio import imwrite
+
+    p = small_pair
+    d = tmp_path / "teddy"
+    imwrite(str(d / "im2.png"), np.clip(p.left, 0, 255).astype(np.uint8))
+    imwrite(str(d / "im6.png"), np.clip(p.right, 0, 255).astype(np.uint8))
+    gt_png = np.clip(np.round(p.gt * 4), 0, 255).astype(np.uint8)
+    imwrite(str(d / "disp2.png"), gt_png)
+    mask = (p.masks["nonocc"].astype(np.uint8)) * 255
+    imwrite(str(d / "nonocc.png"), mask)
+
+    obj = load_middlebury_object(str(tmp_path), "teddy")
+    assert obj.left.shape == p.left.shape and obj.left.shape[-1] == 3
+    np.testing.assert_array_equal(
+        obj.left, np.clip(p.left, 0, 255).astype(np.uint8))
+    # GT comes back divided by the per-object scale factor
+    np.testing.assert_allclose(obj.gt, gt_png.astype(np.float32) / 4.0)
+    np.testing.assert_array_equal(obj.masks["nonocc"], p.masks["nonocc"])
+    assert obj.max_disp == 59
