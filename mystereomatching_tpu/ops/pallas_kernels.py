@@ -705,11 +705,14 @@ def sgm_diag_scan_pallas(volT: jnp.ndarray, psT: jnp.ndarray, shift: int,
     touches 1.75x data; this kernel reads and writes the volume once.
     """
     g, h, w, d_ = volT.shape
-    budget = 10 * 1024 * 1024
+    # blocks (in+out, double-buffered) + bnd scratch + ~6 live [wt, d_]
+    # row temporaries share scoped VMEM; sized conservatively until the
+    # ceiling is probed on hardware (hc/wt_override to tune)
+    budget = 8 * 1024 * 1024
     hc = 8
-    # blocks (in+out, double-buffered) + bnd scratch share scoped VMEM
     wt = _cdiv(w, 8) * 8
-    while wt > 8 and 4 * hc * wt * d_ * 4 + 2 * (h + hc) * d_ * 4 > budget:
+    while wt > 8 and ((4 * hc + 6) * wt * d_ * 4
+                      + 2 * (h + hc) * d_ * 4 > budget):
         wt -= 8
     if wt_override:
         wt = min(wt_override, _cdiv(w, 8) * 8)
