@@ -456,24 +456,27 @@ def wta_pallas(vol: jnp.ndarray, choose_small: bool = True,
 def _sgm_kernel(vol_ref, ps_ref, mask_ref, init_ref, out_ref, carry,
                 *, p1: float, p2: float, has_mask: bool,
                 reverse: bool = False, h_total: int = 0):
-    """SGM scan over one [1, D, Hc, Wt] block, top-down or bottom-up.
+    """SGM scan over one [Gb, D, Hc, Wt] block, top-down or bottom-up.
 
     Recurrence per row (updateCost h:2268-2274, matching ops/sgm._scan_down
     bit for bit):
         L(r,d) = C(r,d) + min(L(r-1,d), minL + P2*s,
                               min(L(r-1,d-1), L(r-1,d+1)) + P1*s) - minL
-    carry: [D, Wt] scratch holding the previous row's L, persisted across
-    H-chunk grid steps (TPU grid steps run sequentially on the core);
-    reset to the zero scan-edge state at each band's first chunk.
+    carry: [Gb, D, Wt] scratch holding the previous row's L, persisted
+    across H-chunk grid steps (TPU grid steps run sequentially on the
+    core); reset to the zero scan-edge state at each band's first chunk.
+    Gb > 1 interleaves that many independent scans in ONE row loop — the
+    serial row recurrence carries a fixed per-iteration floor, and a
+    fatter body amortizes it across scans.
 
     ``reverse`` scans bottom-up directly (callers pass chunks in reversed
     grid order via the index map) — no flipped input/output copies. Rows
     at global index >= h_total (the padded tail of the last block, which a
     reverse scan meets FIRST) neither update the carry nor store.
     """
-    d_, hc, wt = vol_ref.shape[1:]
+    gb, d_, hc, wt = vol_ref.shape
     big = jnp.asarray(jnp.finfo(vol_ref.dtype).max, vol_ref.dtype)
-    big_row = jnp.full((1, wt), big, vol_ref.dtype)
+    big_row = jnp.full((gb, 1, wt), big, vol_ref.dtype)
     n_chunks = pl.num_programs(2)
 
     @pl.when(pl.program_id(2) == 0)
@@ -481,7 +484,7 @@ def _sgm_kernel(vol_ref, ps_ref, mask_ref, init_ref, out_ref, carry,
         if init_ref is None:
             carry[:] = jnp.zeros_like(carry)
         else:
-            carry[:] = init_ref[0]      # neighbor band's boundary Lr row
+            carry[:] = init_ref[:]      # neighbor band's boundary Lr row
 
     if reverse:
         # this block's first row index within the full (padded) array
@@ -490,9 +493,10 @@ def _sgm_kernel(vol_ref, ps_ref, mask_ref, init_ref, out_ref, carry,
         block0 = pl.program_id(2) * hc
 
     def update(prev, c, ps, m_row):
-        min_l = jnp.min(prev, axis=0, keepdims=True)
-        up = jnp.concatenate([big_row, prev[:-1]], 0)
-        dn = jnp.concatenate([prev[1:], big_row], 0)
+        # prev/c: [Gb, D, Wt]; ps/m_row: [Gb, 1, Wt]
+        min_l = jnp.min(prev, axis=1, keepdims=True)
+        up = jnp.concatenate([big_row, prev[:, :-1]], 1)
+        dn = jnp.concatenate([prev[:, 1:], big_row], 1)
         best = jnp.minimum(jnp.minimum(prev, min_l + p2 * ps),
                            jnp.minimum(up, dn) + p1 * ps)
         l = (c + best - min_l).astype(prev.dtype)
@@ -502,15 +506,15 @@ def _sgm_kernel(vol_ref, ps_ref, mask_ref, init_ref, out_ref, carry,
 
     def step_rows(rs, prev):
         r = (hc - 1 - rs) if reverse else rs
-        c = vol_ref[0, :, pl.ds(r, 1), :][:, 0, :]      # [D, Wt]
-        ps = ps_ref[0, pl.ds(r, 1), :]                  # [1, Wt]
-        m_row = mask_ref[0, pl.ds(r, 1), :] if has_mask else None
+        c = vol_ref[:, :, pl.ds(r, 1), :][:, :, 0, :]   # [Gb, D, Wt]
+        ps = ps_ref[:, pl.ds(r, 1), :]                  # [Gb, 1, Wt]
+        m_row = mask_ref[:, pl.ds(r, 1), :] if has_mask else None
         l = update(prev, c, ps, m_row)
         if reverse:
             # padded tail rows are scan-inert (carry unchanged, no store)
             valid = (block0 + r) < h_total
             l = jnp.where(valid, l, prev)
-        out_ref[0, :, pl.ds(r, 1), :] = l[:, None, :]
+        out_ref[:, :, pl.ds(r, 1), :] = l[:, :, None, :]
         return l
 
     if vol_ref.dtype.itemsize >= 4:
@@ -518,23 +522,24 @@ def _sgm_kernel(vol_ref, ps_ref, mask_ref, init_ref, out_ref, carry,
     else:
         # sub-4-byte dtypes need 8-aligned dynamic sublane starts: read an
         # aligned 8-row group, recur over static rows, store the group
+        # (gb forced to 1 by the wrapper for narrow dtypes)
         def group(gs, prev):
             gi = (hc // 8 - 1 - gs) if reverse else gs
             base = pl.multiple_of(gi * 8, 8)
-            cg = vol_ref[0, :, pl.ds(base, 8), :]           # [D, 8, Wt]
-            psg = ps_ref[0, pl.ds(base, 8), :]              # [8, Wt]
-            mg = mask_ref[0, pl.ds(base, 8), :] if has_mask else None
+            cg = vol_ref[:, :, pl.ds(base, 8), :]           # [1, D, 8, Wt]
+            psg = ps_ref[:, pl.ds(base, 8), :]              # [1, 8, Wt]
+            mg = mask_ref[:, pl.ds(base, 8), :] if has_mask else None
             outs = [None] * 8
             order = range(7, -1, -1) if reverse else range(8)
             for j in order:
-                l = update(prev, cg[:, j], psg[j][None],
-                           mg[j][None] if has_mask else None)
+                l = update(prev, cg[:, :, j], psg[:, j:j + 1, :],
+                           mg[:, j:j + 1, :] if has_mask else None)
                 if reverse:
                     valid = (block0 + base + j) < h_total
                     l = jnp.where(valid, l, prev)
                 prev = l
-                outs[j] = l[:, None]
-            out_ref[0, :, pl.ds(base, 8), :] = jnp.concatenate(outs, 1)
+                outs[j] = l[:, :, None]
+            out_ref[:, :, pl.ds(base, 8), :] = jnp.concatenate(outs, 2)
             return prev
 
         carry[:] = jax.lax.fori_loop(0, hc // 8, group, carry[:])
@@ -544,7 +549,8 @@ def sgm_scan_pallas(vol: jnp.ndarray, pscale: jnp.ndarray,
                     mask=None, p1: float = 1.0, p2: float = 3.0,
                     init=None, reverse: bool = False,
                     interpret: bool = False,
-                    wt_override: int = 0, hc_override: int = 0) -> jnp.ndarray:
+                    wt_override: int = 0, hc_override: int = 0,
+                    g_block: int = 0) -> jnp.ndarray:
     """Batched SGM path-cost scan, top-down (default) or bottom-up.
 
     vol: [G, D, H, W] cost volumes (callers pre-transpose/skew per
@@ -557,6 +563,13 @@ def sgm_scan_pallas(vol: jnp.ndarray, pscale: jnp.ndarray,
     steps at Teddy scale).
     """
     g, d_, h, w = vol.shape
+    # Interleave factor: how many independent scans share one row loop
+    # (the serial row recurrence has a fixed per-iteration floor; a
+    # fatter body amortizes it). Default 1 until measured on hardware;
+    # MYSM_SGM_GB=2 enables pairing for A/B.
+    gb = g_block or int(os.environ.get("MYSM_SGM_GB", "1"))
+    if vol.dtype.itemsize < 4 or g % gb:
+        gb = 1
     # Full-width row steps: the row loop is serial, so fatter rows amortize
     # its fixed per-iteration overhead (measured 4x at Teddy scale vs
     # 128-lane tiles). Cap by VMEM: vol+out blocks, double-buffered, ~10MB;
@@ -564,7 +577,7 @@ def sgm_scan_pallas(vol: jnp.ndarray, pscale: jnp.ndarray,
     budget = 10 * 1024 * 1024
     # per-(d,wt,hc) bytes: f32 fori path keeps ~4 blocks live; the sub-4-byte
     # unrolled-group path additionally hoards ~8 rows of f32 temporaries
-    unit = 16 if vol.dtype.itemsize >= 4 else 48
+    unit = (16 if vol.dtype.itemsize >= 4 else 48) * gb
     wt = min(_cdiv(w, 128) * 128, 1280)
     while wt > 128 and unit * d_ * wt * 8 > budget:
         wt -= 128
@@ -574,15 +587,15 @@ def sgm_scan_pallas(vol: jnp.ndarray, pscale: jnp.ndarray,
     if hc_override:
         hc = min(hc_override, _cdiv(h, 8) * 8)
     nh = _cdiv(h, hc)
-    grid = (g, _cdiv(w, wt), nh)
+    grid = (g // gb, _cdiv(w, wt), nh)
     hix = (lambda hi: nh - 1 - hi) if reverse else (lambda hi: hi)
-    vol_spec = pl.BlockSpec((1, d_, hc, wt),
+    vol_spec = pl.BlockSpec((gb, d_, hc, wt),
                             lambda gi, wi, hi: (gi, 0, hix(hi), wi),
                             memory_space=pltpu.VMEM)
-    img_spec = pl.BlockSpec((1, hc, wt),
+    img_spec = pl.BlockSpec((gb, hc, wt),
                             lambda gi, wi, hi: (gi, hix(hi), wi),
                             memory_space=pltpu.VMEM)
-    init_spec = pl.BlockSpec((1, d_, wt), lambda gi, wi, hi: (gi, 0, wi),
+    init_spec = pl.BlockSpec((gb, d_, wt), lambda gi, wi, hi: (gi, 0, wi),
                              memory_space=pltpu.VMEM)
     has_mask = mask is not None
     has_init = init is not None
@@ -608,7 +621,7 @@ def sgm_scan_pallas(vol: jnp.ndarray, pscale: jnp.ndarray,
         in_specs=in_specs,
         out_specs=vol_spec,
         out_shape=jax.ShapeDtypeStruct(vol.shape, vol.dtype),
-        scratch_shapes=[pltpu.VMEM((d_, wt), vol.dtype)],
+        scratch_shapes=[pltpu.VMEM((gb, d_, wt), vol.dtype)],
         cost_estimate=pl.CostEstimate(
             flops=vol.size * 12, bytes_accessed=vol.size * 8,
             transcendentals=0),

@@ -241,3 +241,17 @@ def test_sgm_diag_roll_batched_single_tile(rng):
         outS = S._scan_down(volS, psS, 1.0, 3.0, in_image=ok)
         want = np.asarray(S._unskew(outS, -1, w))
         np.testing.assert_array_equal(got[g], want)
+
+
+def test_sgm_scan_pallas_g_block(rng):
+    """Interleaved scans (g_block=2) == independent scans, bit for bit."""
+    from mystereomatching_tpu.ops.pallas_kernels import sgm_scan_pallas
+
+    d_, h, w = 5, 21, 16
+    vol = jnp.asarray(rng.random((4, d_, h, w)), jnp.float32)
+    ps = jnp.asarray(rng.random((4, h, w)), jnp.float32)
+    for rev in (False, True):
+        want = sgm_scan_pallas(vol, ps, reverse=rev, interpret=True)
+        got = sgm_scan_pallas(vol, ps, reverse=rev, interpret=True,
+                              g_block=2)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
