@@ -351,7 +351,12 @@ def tree_filter(tree: RootedTree, values: jnp.ndarray, sigma: float = 0.1) -> jn
     squeeze = values.ndim == 1
     x = values[:, None] if squeeze else values
     sim = jnp.exp(-tree.weight.astype(jnp.float32) / (255.0 * max(sigma, 0.01)))
-    sim = jnp.where(jnp.arange(n) == 0, 0.0, sim)     # root climbs nowhere
+    # roots climb nowhere (parent == self). Supporting ANY root set makes
+    # this work on forests — e.g. two trees laid side by side filter in
+    # one set of doubling rounds (disjoint segments keep every per-node
+    # sum bit-identical to filtering each tree alone).
+    is_root = tree.parent == jnp.arange(n)
+    sim = jnp.where(is_root, 0.0, sim)
 
     # Doubling rounds run until every path product has crossed the root
     # (sim[root] = 0 makes wt exactly 0 there), i.e. 2^k >= tree height —
@@ -374,7 +379,7 @@ def tree_filter(tree: RootedTree, values: jnp.ndarray, sigma: float = 0.1) -> jn
 
     # down pass: S = sim * S(parent) + (1 - sim^2) * S_up, S(root) = S_up(root)
     b = (1.0 - sim * sim)[:, None] * s_up
-    b = b.at[0].set(s_up[0])
+    b = jnp.where(is_root[:, None], s_up, b)
 
     def down_body(state):
         s, wt, par = state

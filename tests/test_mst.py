@@ -162,3 +162,31 @@ def test_host_tree_matches_device_tree(rng):
     host = build_tree_host(img, prefilter=False)
     np.testing.assert_array_equal(np.asarray(dev.parent), np.asarray(host.parent))
     np.testing.assert_array_equal(np.asarray(dev.weight), np.asarray(host.weight))
+
+
+def test_tree_filter_forest_bit_exact(rng):
+    """Two trees laid side by side in one forest filter exactly as each
+    tree alone (disjoint segment sums keep identical op order) — the
+    basis for fusing the L/R filter stages of the NL flow."""
+    import jax.numpy as jnp
+    from mystereomatching_tpu.ops.mst import RootedTree, build_tree, tree_filter
+
+    h, w, d = 12, 14, 7
+    img_a = rng.integers(0, 256, (h, w, 3)).astype(np.float32)
+    img_b = rng.integers(0, 256, (h, w, 3)).astype(np.float32)
+    ta = build_tree(jnp.asarray(img_a))
+    tb = build_tree(jnp.asarray(img_b))
+    n = h * w
+    va = jnp.asarray(rng.random((n, d)), jnp.float32)
+    vb = jnp.asarray(rng.random((n, d)), jnp.float32)
+
+    sep_a = tree_filter(ta, va, 0.1)
+    sep_b = tree_filter(tb, vb, 0.1)
+
+    forest = RootedTree(
+        parent=jnp.concatenate([ta.parent, tb.parent + n]),
+        weight=jnp.concatenate([ta.weight, tb.weight]),
+        shape=(2 * h, w))
+    both = tree_filter(forest, jnp.concatenate([va, vb]), 0.1)
+    np.testing.assert_array_equal(np.asarray(both[:n]), np.asarray(sep_a))
+    np.testing.assert_array_equal(np.asarray(both[n:]), np.asarray(sep_b))
