@@ -116,6 +116,7 @@ def nl_disparity(vol: jnp.ndarray, left: jnp.ndarray, right: jnp.ndarray,
     from mystereomatching_tpu.ops.median import median_small
 
     d_, h, w = vol.shape
+    n = h * w
     if trees is None:
         tree_l = build_tree(left)
         tree_r = build_tree(right)
@@ -124,14 +125,28 @@ def nl_disparity(vol: jnp.ndarray, left: jnp.ndarray, right: jnp.ndarray,
     k = 2 * median_radius + 1
 
     def filt_wta(v, tree, sig):
-        f = tree_filter(tree, v.reshape(d_, h * w).T, sig)
+        f = tree_filter(tree, v.reshape(d_, n).T, sig)
         d = jnp.argmin(f.T.reshape(d_, h, w), axis=0).astype(jnp.int32)
         return median_small(d, k)
 
-    d_l = filt_wta(vol, tree_l, sigma)
     if not post_process:
+        d_l = filt_wta(vol, tree_l, sigma)
         return d_l, d_l
-    d_r = filt_wta(flip_corr_vol(vol), tree_r, sigma)
+
+    # stages 1+2 fused: the L and R trees filter as one forest (disjoint
+    # segments keep every per-node sum bit-identical to separate passes;
+    # test_tree_filter_forest_bit_exact) — one set of doubling rounds and
+    # one WTA/median dispatch instead of two
+    forest = RootedTree(
+        parent=jnp.concatenate([tree_l.parent, tree_r.parent + n]),
+        weight=jnp.concatenate([tree_l.weight, tree_r.weight]),
+        shape=(2 * h, w))
+    vals = jnp.concatenate([vol.reshape(d_, n).T,
+                            flip_corr_vol(vol).reshape(d_, n).T])
+    filt = tree_filter(forest, vals, sigma)
+    dmaps = jnp.argmin(jnp.stack([filt[:n], filt[n:]], 0)
+                       .reshape(2, h, w, d_), axis=-1).astype(jnp.int32)
+    d_l, d_r = median_small(dmaps, k)
     occ = detect_occlusion_lr(d_l, d_r)
     dd = jnp.abs(d_l[None].astype(jnp.float32)
                  - jnp.arange(d_, dtype=jnp.float32)[:, None, None])
