@@ -58,11 +58,17 @@ def nl_aggregate(vol: jnp.ndarray, image: jnp.ndarray, sigma: float = 0.1,
     if tree is None:
         tree = build_tree(image, prefilter)
     flat = vol.reshape(d_, h * w).T                   # [N, D]
-    filt = tree_filter(tree, flat, sigma)
     if normalize:
-        ones = jnp.ones((h * w,), jnp.float32)
-        norm = tree_filter(tree, ones, sigma)
-        filt = filt / jnp.maximum(norm, 1e-12)[:, None]
+        # the all-ones normalization volume rides as column D of the same
+        # filter (columns are independent in every pass op, so both halves
+        # are bit-identical to separate calls) — one set of doubling
+        # rounds instead of two
+        vals = jnp.concatenate(
+            [flat, jnp.ones((h * w, 1), jnp.float32)], axis=1)
+        f = tree_filter(tree, vals, sigma)
+        filt = f[:, :d_] / jnp.maximum(f[:, d_:], 1e-12)
+    else:
+        filt = tree_filter(tree, flat, sigma)
     return filt.T.reshape(d_, h, w)
 
 
