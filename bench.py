@@ -43,21 +43,31 @@ WARMUP = 2
 ITERS = 5
 
 
-def _probe_device(timeout_s: float = 150.0) -> bool:
-    """Check the TPU tunnel answers a trivial op, in an isolated subprocess
-    (a wedged axon remote-compile queue hangs EVERY jax call in-process —
-    see CLAUDE.md; probing in a child keeps this process clean)."""
+def _probe_device() -> bool:
+    """Check the TPU tunnel answers, in an isolated subprocess (a wedged
+    axon remote-compile queue hangs EVERY jax call in-process — see
+    CLAUDE.md; probing in a child keeps this process clean).
+
+    Two-phase: device ENUMERATION first (no compile is enqueued, so a
+    timeout here cannot re-wedge the queue); only when that answers, a
+    tiny op with a generous timeout — killing a client mid-compile is
+    itself a wedge trigger, so the op probe must not be killed lightly.
+    """
     import subprocess
     import sys
 
-    code = ("import jax, jax.numpy as jnp;"
-            "print(float(jnp.sum(jnp.ones((64,64)))))")
-    try:
-        r = subprocess.run([sys.executable, "-c", code],
-                           timeout=timeout_s, capture_output=True)
-        return r.returncode == 0
-    except subprocess.TimeoutExpired:
+    def run(code, timeout_s):
+        try:
+            r = subprocess.run([sys.executable, "-c", code],
+                               timeout=timeout_s, capture_output=True)
+            return r.returncode == 0
+        except subprocess.TimeoutExpired:
+            return False
+
+    if not run("import jax; print(jax.devices())", 60.0):
         return False
+    return run("import jax, jax.numpy as jnp;"
+               "print(float(jnp.sum(jnp.ones((64,64)))))", 400.0)
 
 
 def wait_for_device(max_wait_s: float = 1500.0) -> bool:
@@ -71,8 +81,8 @@ def wait_for_device(max_wait_s: float = 1500.0) -> bool:
             return True
         if _t.time() > deadline:
             return False
-        print("# device probe failed; retrying in 120s", flush=True)
-        _t.sleep(120)
+        print("# device probe failed; retrying in 300s", flush=True)
+        _t.sleep(300)
 
 
 def main():
