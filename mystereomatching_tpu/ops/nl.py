@@ -76,15 +76,22 @@ def flip_corr_vol(vol: jnp.ndarray) -> jnp.ndarray:
     """Right-view volume with the reference's edge quirk
     (qx_stereo_flip_corr_vol, NL/qx_basic.cpp:577-588): vmR[d,y,x] =
     vmL[d,y,x+d] while x+d < w; past the border it replicates the previous
-    disparity's value, which collapses to the largest valid d' = w-1-x."""
+    disparity's value, which collapses to the largest valid d' = w-1-x.
+
+    The border value vr[w-1-x, y, x] = vol[w-1-x, y, w-1] is just the
+    volume's LAST COLUMN reindexed, so the former full-volume
+    take_along_axis (a [D,H,W] gather, ~GB/s-slow on TPU) collapses to a
+    [W]-row gather of a [D,H] plane plus a dense select."""
     from mystereomatching_tpu.ops.volume import flip_volume_lr
 
     d_, h, w = vol.shape
     vr = flip_volume_lr(vol)                           # wraps past border
     d_idx = jnp.arange(d_, dtype=jnp.int32)[:, None, None]
     d_max = (w - 1) - jnp.arange(w, dtype=jnp.int32)[None, None, :]
-    d_eff = jnp.minimum(d_idx, d_max)                  # [D,1,W]
-    return jnp.take_along_axis(vr, jnp.broadcast_to(d_eff, (d_, h, w)), 0)
+    lastcol = vol[:, :, w - 1]                         # [D, H]
+    sel = jnp.clip(w - 1 - jnp.arange(w, dtype=jnp.int32), 0, d_ - 1)
+    vb = lastcol[sel].T                                # [H, W]
+    return jnp.where(d_idx <= d_max, vr, vb[None])
 
 
 def detect_occlusion_lr(d_left: jnp.ndarray, d_right: jnp.ndarray) -> jnp.ndarray:

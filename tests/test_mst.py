@@ -190,3 +190,22 @@ def test_tree_filter_forest_bit_exact(rng):
     both = tree_filter(forest, jnp.concatenate([va, vb]), 0.1)
     np.testing.assert_array_equal(np.asarray(both[:n]), np.asarray(sep_a))
     np.testing.assert_array_equal(np.asarray(both[n:]), np.asarray(sep_b))
+
+
+def test_flip_corr_vol_matches_gather_form(rng):
+    """Gather-free flip_corr_vol == the take_along_axis formulation
+    (qx_stereo_flip_corr_vol border-replication quirk), incl. W < D."""
+    import jax.numpy as jnp
+    from mystereomatching_tpu.ops.nl import flip_corr_vol
+    from mystereomatching_tpu.ops.volume import flip_volume_lr
+
+    for d_, h, w in ((7, 6, 20), (9, 5, 6)):
+        vol = jnp.asarray(rng.random((d_, h, w)), jnp.float32)
+        vr = flip_volume_lr(vol)
+        d_idx = jnp.arange(d_, dtype=jnp.int32)[:, None, None]
+        d_max = (w - 1) - jnp.arange(w, dtype=jnp.int32)[None, None, :]
+        d_eff = jnp.minimum(d_idx, jnp.maximum(d_max, 0))
+        want = jnp.take_along_axis(
+            vr, jnp.broadcast_to(d_eff, (d_, h, w)), 0)
+        got = flip_corr_vol(vol)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
