@@ -24,6 +24,8 @@ the 8-direction set adds the four diagonals.
 
 from __future__ import annotations
 
+import os
+
 from functools import partial
 from typing import Optional, Sequence, Tuple
 
@@ -211,7 +213,6 @@ def sgm_directions(vol_list, img_list, dirs, p1: float = 1.0,
     out = [jnp.zeros_like(v) for v in vol_list]
 
     if use_pallas:
-        import os
         # Group by (orientation, scan direction): reverse-capable kernels
         # scan bottom-up in place, so no flipped input/output copies ever
         # materialize. Diagonals run the lane-roll kernel on [H, W, D]
