@@ -110,6 +110,14 @@ def main():
         return
 
     import jax
+
+    # the axon sitecustomize imports jax at interpreter startup, freezing
+    # env-derived config — apply the cache settings at runtime too
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ["JAX_COMPILATION_CACHE_DIR"])
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
     import jax.numpy as jnp
     import numpy as np
 

@@ -16,8 +16,14 @@ import jax
 
 # The axon TPU-tunnel sitecustomize registers its backend programmatically,
 # overriding JAX_PLATFORMS — force the CPU backend + 8 devices explicitly.
+# It also imports jax at interpreter startup, which freezes env-derived
+# config (the cache env vars above never land) — set them via config too.
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_num_cpu_devices", 8)
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ["JAX_COMPILATION_CACHE_DIR"])
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
 import numpy as np
 import pytest
