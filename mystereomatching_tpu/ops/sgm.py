@@ -235,7 +235,11 @@ def sgm_directions(vol_list, img_list, dirs, p1: float = 1.0,
                     groups.setdefault(("h", ru > 0), []).append(
                         (i, jnp.swapaxes(vol, 1, 2), jnp.swapaxes(p, 0, 1),
                          None, None))
-                elif use_roll:
+                elif use_roll and vol.dtype.itemsize >= 4:
+                    # the roll kernel's boundary scratch needs arbitrary
+                    # dynamic sublane offsets — unsupported for sub-4-byte
+                    # dtypes (Mosaic requires 8-aligned starts there), so
+                    # bf16 volumes keep the skew path
                     groups.setdefault(("t", rv > 0, -ru), []).append(
                         (i, p[..., None], None, None, None))
                 else:
