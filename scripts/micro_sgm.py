@@ -57,6 +57,15 @@ def main():
         timed(f"vscan {h}x{w} (D={d_})",
               chain(lambda v, p: pk.sgm_scan_pallas(v, p)), vol, ps)
 
+    # 1b. g-block interleave A/B on a batched pair of scans
+    volp = jnp.asarray(r.random((2, d_, 512, 320)), jnp.float32)
+    psp = jnp.asarray(r.random((2, 512, 320)), jnp.float32)
+    timed("vscan g=2 gb=1", chain(lambda v, p: pk.sgm_scan_pallas(v, p)),
+          volp, psp)
+    timed("vscan g=2 gb=2",
+          chain(lambda v, p: pk.sgm_scan_pallas(v, p, g_block=2)),
+          volp, psp)
+
     # 2. diagonals at sgm8_full scale (750x1000, D=128), one direction
     d8, h8, w8 = 128, 750, 1000
     vol = jnp.asarray(r.random((d8, h8, w8)), jnp.float32)
