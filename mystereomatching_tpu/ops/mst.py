@@ -324,6 +324,299 @@ def root_tree(in_mst: jnp.ndarray, wr: jnp.ndarray, wd: jnp.ndarray) -> RootedTr
     return RootedTree(parent=parent, weight=weight, shape=(h, w))
 
 
+def _cumsum_flat(x: jnp.ndarray) -> jnp.ndarray:
+    """Inclusive cumsum of a flat int32 array via a 2-level [rows, 512]
+    decomposition — a flat 1-D cumsum over hundreds of thousands of
+    elements hangs the TPU lowering (see root_tree's newid)."""
+    n = x.shape[0]
+    lane = 512
+    rows = -(-n // lane)
+    xp = jnp.pad(x, (0, rows * lane - n)).reshape(rows, lane)
+    c = jnp.cumsum(xp, axis=1)
+    tot = c[:, -1]
+    offs = jnp.cumsum(tot) - tot
+    return (c + offs[:, None]).reshape(-1)[:n]
+
+
+def _dedup_contract(cu, cv, rowkey, alive, c_cap: int, e_cap: int):
+    """Contract a multigraph to its per-pair minimum simple graph.
+
+    cu/cv: [E] dense component labels (< c_cap) per edge; rowkey: [E] int32
+    whose ascending order is the global Kruskal tie order; alive: [E] bool.
+    Returns (eu2, ev2, orig_row, valid) arrays of static size ``e_cap``
+    (>= 3*c_cap - 6 suffices: the contracted grid graph stays planar, so it
+    has at most 3C-6 distinct component pairs), with rows SORTED by rowkey —
+    so in the contracted rounds "minimum edge" is simply "minimum row".
+    orig_row maps each contracted row back to the rowkey value (= caller's
+    edge identity) of the pair's minimum edge.
+    """
+    e = cu.shape[0]
+    a = jnp.minimum(cu, cv)
+    b = jnp.maximum(cu, cv)
+    if c_cap * c_cap >= 2**31:
+        raise ValueError(f"_dedup_contract: c_cap={c_cap} pair key overflows "
+                         "int32 — contract later (more grid rounds)")
+    big_pk = jnp.int32(2**31 - 1)
+    pk = jnp.where(alive, a * jnp.int32(c_cap) + b, big_pk)
+    # sort edges by pair id; payload rides along (one fused sort)
+    pk_s, key_s = jax.lax.sort((pk, rowkey), num_keys=1)
+    start = jnp.concatenate([jnp.ones((1,), jnp.int32),
+                             (pk_s[1:] != pk_s[:-1]).astype(jnp.int32)])
+    sid = _cumsum_flat(start) - 1                       # [E] segment ids
+    live_s = pk_s != big_pk
+    big = jnp.int32(2**31 - 1)
+    sid_d = jnp.where(live_s, sid, e_cap)               # dead -> dropped
+    # per-pair minimum rowkey (the only parallel edge the unique MST can use)
+    min_key = jnp.full((e_cap,), big, jnp.int32).at[sid_d].min(
+        key_s, mode="drop")
+    pair_pk = jnp.full((e_cap,), big_pk, jnp.int32).at[sid_d].min(
+        pk_s, mode="drop")
+    # rows sorted by rowkey => contracted "min edge" == "min row index"
+    # (invalid rows carry key big and sort to the back)
+    min_key, pair_pk = jax.lax.sort((min_key, pair_pk), num_keys=1)
+    valid = min_key != big
+    safe_pk = jnp.where(valid, pair_pk, 0)
+    eu2 = safe_pk // jnp.int32(c_cap)
+    ev2 = safe_pk % jnp.int32(c_cap)
+    return eu2, ev2, min_key, valid
+
+
+def _contracted_rounds(euv, valid, c_cap: int):
+    """Run Borůvka rounds on a contracted simple graph until connected.
+
+    Rows are sorted by global tie order; returns chosen [e_cap] bool —
+    rows whose edge joined the MST. The cond's alive test costs one tiny
+    [e_cap, 2] gather (e_cap here is ~N/43 of the original problem)."""
+    e_cap = euv.shape[0]
+    body = _compact_round_body(euv, valid, c_cap)
+
+    def cond(state):
+        comp2, _ = state
+        cuv = comp2[euv.reshape(-1)].reshape(e_cap, 2)
+        return jnp.any(valid & (cuv[:, 0] != cuv[:, 1]))
+
+    _, chosen = jax.lax.while_loop(
+        cond, lambda s: body(*s),
+        (jnp.arange(c_cap, dtype=jnp.int32),
+         jnp.zeros((e_cap,), jnp.bool_)))
+    return chosen
+
+
+def boruvka_mst_contracted(wr: jnp.ndarray, wd: jnp.ndarray) -> jnp.ndarray:
+    """boruvka_mst with geometric contraction — same unique MST, ~3x faster.
+
+    The plain round loop costs O(rounds) full-size gathers/scatters (N-row
+    ops are latency-bound at ~6.5 ns/row on TPU, so 18 rounds x ~8 ms
+    dominates the NL path). Since every component holds >= 2^r nodes after
+    r rounds, the graph shrinks geometrically: after 2 grid rounds the
+    per-pair minimum simple graph has <= 3*(N/4) edges (planarity), after 5
+    more <= 3*(N/128). Two contraction points bound total work by the first
+    few rounds. Output is bit-identical to :func:`boruvka_mst`: with keys
+    (weight, edge index) all distinct the MST is unique, and the per-pair /
+    per-component minima here use exactly that key order.
+    """
+    h, w = wr.shape[0], wr.shape[1] + 1
+    n = h * w
+    eu, ev, ew = _flatten_edges(wr, wd)
+    e = eu.shape[0]
+    idx_bits = max(20, int(e).bit_length())
+    if 8 + idx_bits > 31:
+        raise ValueError("boruvka_mst_contracted: packed key overflow — "
+                         "use the host tree build for frames this large")
+    wkey = (ew << idx_bits) | jnp.arange(e, dtype=jnp.int32)
+
+    # --- phase 1: r1 grid-space rounds ---
+    # round 1 is special-cased (comp == identity makes every step plane
+    # math; the only gathers left are the label-flattening jumps);
+    # r1 chosen so the dense pair id a*c_cap+b fits int32
+    r1 = 2
+    while (n >> r1) > 46340:
+        r1 += 1
+    state = _grid_round1(wr, wd, idx_bits)
+    round_body = _grid_round_body(wr, wd, eu, ev, idx_bits)
+    for _ in range(r1 - 1):
+        state = round_body(state)
+    comp, in_mst = state
+
+    # --- phase 2: relabel components densely, contract edges ---
+    c_cap = n >> r1
+    iota = jnp.arange(n, dtype=jnp.int32)
+    is_root = (comp == iota).astype(jnp.int32)
+    newc = _cumsum_flat(is_root) - 1                    # dense id at roots
+    comp_c = newc[comp]                                 # [N] gather
+    c2 = comp_c.reshape(h, w)
+    cu = jnp.concatenate([c2[:, :-1].reshape(-1), c2[:-1, :].T.reshape(-1)])
+    cv = jnp.concatenate([c2[:, 1:].reshape(-1), c2[1:, :].T.reshape(-1)])
+    e_cap1 = 3 * c_cap
+    eu2, ev2, key2, valid2 = _dedup_contract(
+        cu, cv, wkey, cu != cv, c_cap, e_cap1)
+
+    # --- phase 3: a few rounds, then contract once more ---
+    r2 = 3
+    euv = jnp.stack([eu2, ev2], 1)
+    comp2 = jnp.arange(c_cap, dtype=jnp.int32)
+    chosen1 = jnp.zeros((e_cap1,), jnp.bool_)
+    body = _compact_round_body(euv, valid2, c_cap)
+    for _ in range(r2):
+        comp2, chosen1 = body(comp2, chosen1)
+
+    c_cap2 = n >> (r1 + r2)
+    is_root2 = (comp2 == jnp.arange(c_cap, dtype=jnp.int32)).astype(jnp.int32)
+    newc2 = _cumsum_flat(is_root2) - 1
+    comp2_c = newc2[comp2]
+    cu2 = comp2_c[euv.reshape(-1)].reshape(-1, 2)
+    eu3, ev3, key3, valid3 = _dedup_contract(
+        cu2[:, 0], cu2[:, 1], jnp.arange(e_cap1, dtype=jnp.int32),
+        valid2 & (cu2[:, 0] != cu2[:, 1]), c_cap2, 3 * c_cap2)
+
+    # --- phase 4: finish on the twice-contracted graph ---
+    chosen3 = _contracted_rounds(jnp.stack([eu3, ev3], 1), valid3, c_cap2)
+
+    # unwind: level-2 rows -> level-1 rows -> original edge ids
+    rows1 = jnp.where(chosen3 & valid3, key3, 0)        # level-1 row ids
+    lvl1 = jnp.zeros((e_cap1,), jnp.bool_).at[rows1].max(
+        chosen3 & valid3, mode="drop")
+    chosen1 = chosen1 | lvl1
+    orig = jnp.where(chosen1 & valid2, key2 & ((1 << idx_bits) - 1), 0)
+    in_mst = in_mst | jnp.zeros((e,), jnp.bool_).at[orig].max(
+        chosen1 & valid2, mode="drop")
+    return in_mst
+
+
+def _grid_round1(wr, wd, idx_bits):
+    """Borůvka round 1, gather-free: with comp == identity the segment-min
+    IS the per-node key, the hook target is a neighbor (a plane shift), the
+    2-cycle test compares a node's chosen slot with its neighbor's, and
+    edge marking is two plane ORs. Only the final label flattening jumps.
+    """
+    h, w = wr.shape[0], wr.shape[1] + 1
+    n = h * w
+    big_w = jnp.int32(2**31 - 1)
+    eidx_r = jnp.arange(h * (w - 1), dtype=jnp.int32).reshape(h, w - 1)
+    eidx_d = (h * (w - 1)
+              + jnp.arange(w * (h - 1), dtype=jnp.int32).reshape(w, h - 1).T)
+    key_r = (wr << idx_bits) | eidx_r
+    key_d = (wd << idx_bits) | eidx_d
+
+    def shift2(x, dv, du, fill):
+        pv0, pv1 = max(0, -dv), max(0, dv)
+        pu0, pu1 = max(0, -du), max(0, du)
+        p = jnp.pad(x, ((pv0, pv1), (pu0, pu1)), constant_values=fill)
+        return p[pv0 + dv: pv0 + dv + h, pu0 + du: pu0 + du + w]
+
+    # per-slot keys at each node (slot order 0=R,1=D,2=L,3=U)
+    ks = [jnp.pad(key_r, ((0, 0), (0, 1)), constant_values=big_w),
+          jnp.pad(key_d, ((0, 1), (0, 0)), constant_values=big_w),
+          jnp.pad(key_r, ((0, 0), (1, 0)), constant_values=big_w),
+          jnp.pad(key_d, ((1, 0), (0, 0)), constant_values=big_w)]
+    node_key = jnp.minimum(jnp.minimum(ks[0], ks[2]),
+                           jnp.minimum(ks[1], ks[3]))
+    # keys are unique, so equality pins the chosen slot
+    slot = jnp.full((h, w), -1, jnp.int32)
+    for s in range(4):
+        slot = jnp.where(node_key == ks[s], s, slot)
+
+    ids2 = jnp.arange(n, dtype=jnp.int32).reshape(h, w)
+    parent2 = ids2
+    for s, (dv, du) in enumerate(_SLOT_OFF):
+        parent2 = jnp.where(slot == s, shift2(ids2, dv, du, 0), parent2)
+    # 2-cycle: my neighbor chose the reverse slot back to me
+    two = jnp.zeros((h, w), jnp.bool_)
+    for s, (dv, du) in enumerate(_SLOT_OFF):
+        nbr_slot = shift2(slot, dv, du, -1)
+        two = two | ((slot == s) & (nbr_slot == _REV_SLOT[s]))
+    parent2 = jnp.where(two & (parent2 > ids2), ids2, parent2)
+
+    # an edge joins the MST iff either endpoint chose it
+    e_r = (slot == 0)[:, : w - 1] | (slot == 2)[:, 1:]
+    e_d = (slot == 1)[: h - 1, :] | (slot == 3)[1:, :]
+    in_mst = jnp.concatenate([e_r.reshape(-1), e_d.T.reshape(-1)])
+
+    comp = _jump_to_root(parent2.reshape(-1))
+    return comp, in_mst
+
+
+def _grid_round_body(wr, wd, eu, ev, idx_bits):
+    """One grid-space Borůvka round (the round_body of boruvka_mst,
+    factored so the contracted variant can reuse it)."""
+    h, w = wr.shape[0], wr.shape[1] + 1
+    n = h * w
+    e = eu.shape[0]
+    big_w = jnp.int32(2**31 - 1)
+    big_i = jnp.int32(e)
+    eidx_r = jnp.arange(h * (w - 1), dtype=jnp.int32).reshape(h, w - 1)
+    eidx_d = (h * (w - 1)
+              + jnp.arange(w * (h - 1), dtype=jnp.int32).reshape(w, h - 1).T)
+    key_r = (wr << idx_bits) | eidx_r
+    key_d = (wd << idx_bits) | eidx_d
+
+    def round_body(state):
+        comp, in_mst = state
+        c2 = comp.reshape(h, w)
+        alive_r = c2[:, :-1] != c2[:, 1:]
+        alive_d = c2[:-1, :] != c2[1:, :]
+        kr = jnp.where(alive_r, key_r, big_w)
+        kd = jnp.where(alive_d, key_d, big_w)
+        node_key = jnp.minimum(
+            jnp.minimum(jnp.pad(kr, ((0, 0), (0, 1)), constant_values=big_w),
+                        jnp.pad(kr, ((0, 0), (1, 0)), constant_values=big_w)),
+            jnp.minimum(jnp.pad(kd, ((0, 1), (0, 0)), constant_values=big_w),
+                        jnp.pad(kd, ((1, 0), (0, 0)), constant_values=big_w)))
+        minkey = jax.ops.segment_min(node_key.reshape(-1), comp,
+                                     num_segments=n)
+        mine = jnp.where(minkey < big_w, minkey & ((1 << idx_bits) - 1),
+                         big_i)
+        has = mine < big_i
+        sel = jnp.clip(mine, 0, e - 1)
+        uv = jnp.stack([eu, ev], 1)[sel]
+        cuv = comp[uv.reshape(-1)].reshape(n, 2)
+        other = jnp.where(cuv[:, 0] == jnp.arange(n, dtype=jnp.int32),
+                          cuv[:, 1], cuv[:, 0])
+        parent = jnp.where(has, other, jnp.arange(n, dtype=jnp.int32))
+        two_cycle = parent[parent] == jnp.arange(n, dtype=jnp.int32)
+        parent = jnp.where(
+            two_cycle & (parent > jnp.arange(n, dtype=jnp.int32)),
+            jnp.arange(n, dtype=jnp.int32), parent)
+        mark = (has & (parent != jnp.arange(n, dtype=jnp.int32))
+                ).astype(jnp.int32)
+        chosen = jnp.zeros((e,), jnp.int32).at[sel].max(mark, mode="drop")
+        in_mst = in_mst | (chosen > 0)
+        parent = _jump_to_root(parent)
+        return (parent[comp], in_mst)
+
+    return round_body
+
+
+def _compact_round_body(euv, valid, c_cap: int):
+    """One Borůvka round on a contracted simple graph (rows = tie order)."""
+    e_cap = euv.shape[0]
+    big = jnp.int32(e_cap)
+    iota_c = jnp.arange(c_cap, dtype=jnp.int32)
+
+    def body(comp2, chosen):
+        cuv = comp2[euv.reshape(-1)].reshape(e_cap, 2)
+        cu, cv = cuv[:, 0], cuv[:, 1]
+        alive = valid & (cu != cv)
+        key = jnp.where(alive, jnp.arange(e_cap, dtype=jnp.int32), big)
+        minrow = jnp.full((c_cap,), big, jnp.int32).at[
+            jnp.concatenate([cu, cv])].min(jnp.concatenate([key, key]),
+                                           mode="drop")
+        has = minrow < big
+        rows = jnp.where(has, minrow, 0)
+        w_uv = cuv[rows]
+        other = jnp.where(w_uv[:, 0] == iota_c, w_uv[:, 1], w_uv[:, 0])
+        parent = jnp.where(has, other, iota_c)
+        two_cycle = parent[parent] == iota_c
+        parent = jnp.where(two_cycle & (parent > iota_c), iota_c, parent)
+        mark = (has & (parent != iota_c)).astype(jnp.int32)
+        chosen = chosen | (jnp.zeros((e_cap,), jnp.int32)
+                           .at[rows].max(mark, mode="drop") > 0)
+        parent = _jump_to_root(parent)
+        return parent[comp2], chosen
+
+    return body
+
+
 def build_tree(image: jnp.ndarray, prefilter: bool = True,
                row_axis: str = None) -> RootedTree:
     """Full pipeline: image -> edge weights -> Borůvka -> rooted tree.
@@ -331,7 +624,11 @@ def build_tree(image: jnp.ndarray, prefilter: bool = True,
     ``row_axis``: distribute each Borůvka round's segment-min over row
     bands of that mesh axis (see :func:`boruvka_mst`)."""
     wr, wd = grid_edge_weights(image, prefilter)
-    in_mst = boruvka_mst(wr, wd, row_axis)
+    h, w = wr.shape[0], wr.shape[1] + 1
+    if row_axis is None and h * w >= 1 << 12:
+        in_mst = boruvka_mst_contracted(wr, wd)
+    else:
+        in_mst = boruvka_mst(wr, wd, row_axis)
     return root_tree(in_mst, wr, wd)
 
 

@@ -6,13 +6,18 @@ block_until_ready is unreliable — see bench.py).
 """
 
 import functools
+import os
+import sys
 import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax")
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from mystereomatching_tpu.config import default_config
+from mystereomatching_tpu import models
 from mystereomatching_tpu import pipeline as P
 from mystereomatching_tpu.ops import aggregation as agg_ops
 from mystereomatching_tpu.ops import arms as arms_ops
@@ -21,7 +26,10 @@ from mystereomatching_tpu.ops import sgm as sgm_ops
 from mystereomatching_tpu.ops import wta as wta_ops
 from mystereomatching_tpu.data import make_synthetic_pair
 
-H, W, D = 375, 450, 60
+# usage: profile_stages.py [preset H W max_disp]
+PRESET = sys.argv[1] if len(sys.argv) > 1 else None
+H, W, D = ((int(sys.argv[2]), int(sys.argv[3]), int(sys.argv[4]) + 1)
+           if len(sys.argv) > 4 else (375, 450, 60))
 
 
 def timeit(fn, *args, iters=5, warmup=2):
@@ -36,7 +44,8 @@ def timeit(fn, *args, iters=5, warmup=2):
 
 
 def main():
-    cfg = default_config(max_disp=D - 1)
+    cfg = (models.get_model(PRESET, max_disp=D - 1) if PRESET
+           else default_config(max_disp=D - 1))
     pair = make_synthetic_pair(h=H, w=W, max_disp=D - 1, seed=0)
     left = jnp.asarray(pair.left, jnp.float32)
     right = jnp.asarray(pair.right, jnp.float32)
