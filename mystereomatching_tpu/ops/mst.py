@@ -224,18 +224,69 @@ def _slot_masks(in_mst: jnp.ndarray, h: int, w: int):
     return jnp.stack([right, down, left, up])
 
 
-def root_tree(in_mst: jnp.ndarray, wr: jnp.ndarray, wd: jnp.ndarray) -> RootedTree:
-    """Orient the MST toward node 0 via Euler tour + list ranking."""
+def _rank_tour(is_edge: jnp.ndarray, succ: jnp.ndarray, nc: int,
+               h: int, w: int) -> jnp.ndarray:
+    """List-rank the Euler tour: negated steps-to-end per directed edge.
+
+    is_edge/succ: [4N] slot-space presence + successor (self = tour end /
+    absent). ``nc``: STATIC compact size — live edges are compacted into
+    nc rows (order-preserving prefix-sum ids) and ranked by pointer
+    doubling with (dist, succ) fused into one [nc, 2] gather per round.
+    TPU gathers are row-latency-bound (~6 ns/row), so the caller shrinks
+    nc as far as it can prove live <= nc. Returns [4N] int32 ranks
+    (earlier edge => smaller value; non-edges 0).
+    """
+    de = is_edge.shape[0]
+    n = de // 4
+    # old -> compact id: 2-level prefix sum ([H, 4W] rows + row offsets) —
+    # a flat 1-D cumsum over 4N elements hangs the TPU lowering
+    e2 = is_edge.astype(jnp.int32).reshape(h, 4 * w)
+    c2 = jnp.cumsum(e2, axis=1)
+    row_tot = c2[:, -1]
+    offs = jnp.cumsum(row_tot) - row_tot
+    newid = (c2 + offs[:, None]).reshape(-1) - 1      # [4N]
+    iota = jnp.arange(de, dtype=jnp.int32)
+    live = is_edge & (succ != iota)
+    succ_new = jnp.where(live, newid[succ], -1)        # -1: tour end/self
+    slot = jnp.where(is_edge, newid, nc)               # nc: dropped
+    iota_c = jnp.arange(nc, dtype=jnp.int32)
+    succ_c = jnp.full((nc,), -1, jnp.int32).at[slot].set(succ_new, mode="drop")
+    succ_c = jnp.where(succ_c >= 0, succ_c, iota_c)
+    dist_c = jnp.where(succ_c != iota_c, 1, 0)
+    st = jnp.stack([dist_c, succ_c], axis=1)           # [nc, 2]
+    rounds = math.ceil(math.log2(max(nc, 2)))
+    for _ in range(rounds):
+        g = st[st[:, 1]]                               # one fused gather
+        st = jnp.stack([st[:, 0] + g[:, 0], g[:, 1]], axis=1)
+    # back to slot space by SCATTER (nc rows), not gather (4N rows): dist =
+    # steps to tour end, so earlier edge => larger dist => smaller -dist
+    oldid = jnp.full((nc,), de, jnp.int32).at[slot].set(iota, mode="drop")
+    return jnp.zeros((de,), jnp.int32).at[oldid].set(-st[:, 0], mode="drop")
+
+
+def root_tree(in_mst: jnp.ndarray, wr: jnp.ndarray, wd: jnp.ndarray,
+              peels: int = 20) -> RootedTree:
+    """Orient the MST toward node 0: leaf peeling + core Euler ranking.
+
+    Phase 1 — ``peels`` rounds of leaf removal, PURE 2-D plane math (tree
+    edges are grid edges, so degrees and the unique-alive-neighbor select
+    are shifted-mask ops, no gathers). A peeled leaf's surviving neighbor
+    IS its parent: the root (node 0) never peels, aliveness is monotone,
+    so the root side of any current leaf is always the one alive neighbor.
+    Image MSTs peel fast (~16% of nodes left after 20 rounds at Teddy
+    scale); each round costs ~20 cheap plane ops.
+
+    Phase 2 — Euler tour + list ranking (the round-1 design) on the peeled
+    CORE only. Ranking is the expensive step (row-latency-bound gathers),
+    so the core is compacted into a 4x smaller static buffer when the live
+    count allows (lax.cond; the full-size branch keeps worst-case — long
+    path — trees correct). Both branches produce identical ranks, and the
+    final parents are bit-identical to the unpeeled build.
+    """
     h, w = wr.shape[0], wr.shape[1] + 1
     n = h * w
     slots = _slot_masks(in_mst, h, w)                 # [4,H,W]
-    present = slots.reshape(4, n)                     # per-node slot presence
-
-    # directed edge id = node*4 + slot (for present slots). Neighbor lookups
-    # are GRID-STRUCTURED: value-at-neighbor = a 2-D shift of the plane, not
-    # a gather (TPU gathers on [N] arrays run at ~GB/s).
     ids2 = jnp.arange(n, dtype=jnp.int32).reshape(h, w)
-    pres_t = present.T                                # [N,4]
     de = 4 * n
 
     def shift2(x, dv, du, fill):
@@ -244,79 +295,79 @@ def root_tree(in_mst: jnp.ndarray, wr: jnp.ndarray, wd: jnp.ndarray) -> RootedTr
         p = jnp.pad(x, ((pv0, pv1), (pu0, pu1)), constant_values=fill)
         return p[pv0 + dv: pv0 + dv + h, pu0 + du: pu0 + du + w]
 
+    wr_p = jnp.pad(wr, ((0, 0), (0, 1)))
+    wl_p = jnp.pad(wr, ((0, 0), (1, 0)))
+    wd_p = jnp.pad(wd, ((0, 1), (0, 0)))
+    wu_p = jnp.pad(wd, ((1, 0), (0, 0)))
+    wplane = (wr_p, wd_p, wl_p, wu_p)                 # [H,W] weight per slot
+    nbr_ids = [shift2(ids2, dv, du, 0) for dv, du in _SLOT_OFF]
+
+    # --- phase 1: leaf peeling ---
+    alive = jnp.ones((h, w), jnp.bool_)
+    notroot = ids2 != 0
+    parent2 = ids2
+    weight2 = jnp.zeros((h, w), jnp.int32)
+    for _ in range(peels):
+        ea = [slots[s] & shift2(alive, dv, du, False)
+              for s, (dv, du) in enumerate(_SLOT_OFF)]   # alive edge at slot
+        deg = (ea[0].astype(jnp.int32) + ea[1] + ea[2] + ea[3])
+        leaf = alive & notroot & (deg == 1)
+        for s in range(4):
+            pm = leaf & ea[s]
+            parent2 = jnp.where(pm, nbr_ids[s], parent2)
+            weight2 = jnp.where(pm, wplane[s], weight2)
+        alive = alive & ~leaf
+
+    # core tree edges: both endpoints alive
+    core = jnp.stack([slots[s] & alive & shift2(alive, dv, du, False)
+                      for s, (dv, du) in enumerate(_SLOT_OFF)])  # [4,H,W]
+    pres_t = core.reshape(4, n).T                     # [N,4]
+
+    # --- phase 2: Euler tour of the core ---
     # successor for every potential directed edge (u, s): arrive at v,
     # continue through v's next present slot after _REV_SLOT[s]
     succ = []
     for s, (dv, du) in enumerate(_SLOT_OFF):
         r = _REV_SLOT[s]
-        vid = shift2(ids2, dv, du, 0)                 # neighbor node id
+        vid = nbr_ids[s]
         nxt = jnp.full((h, w), -1, jnp.int32)
         for k in (4, 3, 2, 1):                        # reverse priority: k=1 wins
             cand = (r + k) % 4
-            pres_vc = shift2(slots[cand], dv, du, False)
+            pres_vc = shift2(core[cand], dv, du, False)
             nxt = jnp.where(pres_vc, vid * 4 + cand, nxt)
         succ.append(nxt.reshape(-1))
     succ = jnp.stack(succ, 1).reshape(de)             # [4N]
 
-    # start edge: node 0's first present slot
-    slot0 = jnp.argmax(pres_t[0], axis=0).astype(jnp.int32)
-    e0 = slot0  # = 0*4 + slot0
-
-    # cut the cycle before e0, COMPACT the <=2(N-1) live directed edges out
-    # of the 4N slots (order-preserving prefix-sum ids), then rank by
-    # pointer doubling with dist+succ FUSED into one [.,2] gather per round
-    # — TPU gathers cost ~the same regardless of row width, so compaction
-    # (2x) + fusion (2x) cut the ranking's gather time ~4x.
+    # start edge: node 0's first present slot; cut the cycle before e0
+    e0 = jnp.argmax(pres_t[0], axis=0).astype(jnp.int32)
     iota = jnp.arange(de, dtype=jnp.int32)
-    is_edge = present.T.reshape(de)
+    is_edge = pres_t.reshape(de)
     succ = jnp.where(succ == e0, iota, succ)
     succ = jnp.where(is_edge, succ, iota)
-    live = is_edge & (succ != iota)
 
-    nc = 2 * n                                        # static compact size
-    # old -> compact id: 2-level prefix sum ([H, 4W] rows + row offsets) —
-    # a flat 1-D cumsum over 4N elements hangs the TPU lowering
-    e2 = is_edge.astype(jnp.int32).reshape(h, 4 * w)
-    c2 = jnp.cumsum(e2, axis=1)
-    row_tot = c2[:, -1]
-    offs = jnp.cumsum(row_tot) - row_tot
-    newid = (c2 + offs[:, None]).reshape(-1) - 1      # [4N]
-    succ_new = jnp.where(live, newid[succ], -1)        # -1: tour end/self
-    slot = jnp.where(is_edge, newid, nc)               # nc: dropped
-    iota_c = jnp.arange(nc, dtype=jnp.int32)
-    succ_c = jnp.full((nc,), -1, jnp.int32).at[slot].set(succ_new, mode="drop")
-    succ_c = jnp.where(succ_c >= 0, succ_c, iota_c)
-    dist_c = jnp.where(succ_c != iota_c, 1, 0)
-    st = jnp.stack([dist_c, succ_c], axis=1)           # [2N, 2]
-    rounds = math.ceil(math.log2(max(nc, 2)))
-    for _ in range(rounds):
-        g = st[st[:, 1]]                               # one fused gather
-        st = jnp.stack([st[:, 0] + g[:, 0], g[:, 1]], axis=1)
-    # dist = steps to tour end; earlier edge => larger dist
-    rank = jnp.where(is_edge, -st[newid, 0], 0)        # back to slot space
+    nc_fast = max(64, (2 * n) // 4)
+    cnt = jnp.sum(is_edge.astype(jnp.int32))
+    rank = jax.lax.cond(
+        cnt <= nc_fast,
+        lambda: _rank_tour(is_edge, succ, nc_fast, h, w),
+        lambda: _rank_tour(is_edge, succ, 2 * n, h, w))
 
-    # parent via gathers: node v's parent is the neighbor t of the unique
-    # present slot s whose INCOMING direction (t->v) ranks earlier than the
-    # outgoing (v->t) — the Euler tour enters v from its parent first.
+    # parent for core nodes: node v's parent is the neighbor t of the
+    # unique present slot s whose INCOMING direction (t->v) ranks earlier
+    # than the outgoing (v->t) — the Euler tour enters v from its parent
+    # first. Peeled nodes keep their phase-1 parents.
     rank_nv = rank.reshape(n, 4)
-    wr_p = jnp.pad(wr, ((0, 0), (0, 1))).reshape(-1)
-    wl_p = jnp.pad(wr, ((0, 0), (1, 0))).reshape(-1)
-    wd_p = jnp.pad(wd, ((0, 1), (0, 0))).reshape(-1)
-    wu_p = jnp.pad(wd, ((1, 0), (0, 0))).reshape(-1)
-    wslot = jnp.stack([wr_p, wd_p, wl_p, wu_p], 1)    # [N,4] edge weights
-
-    parent = jnp.arange(n, dtype=jnp.int32)
-    weight = jnp.zeros((n,), jnp.int32)
+    parent = parent2.reshape(-1)
+    weight = weight2.reshape(-1)
     big = jnp.int32(1 << 30)
     for s, (dv, du) in enumerate(_SLOT_OFF):
         r = _REV_SLOT[s]
         out_rank = rank_nv[:, s]                      # rank(v -> t)
         # rank(t -> v): slot-r rank plane shifted to the neighbor
         in_rank = shift2(rank_nv[:, r].reshape(h, w), dv, du, big).reshape(-1)
-        t = shift2(ids2, dv, du, 0).reshape(-1)
         is_parent = pres_t[:, s] & (in_rank < out_rank)
-        parent = jnp.where(is_parent, t, parent)
-        weight = jnp.where(is_parent, wslot[:, s], weight)
+        parent = jnp.where(is_parent, nbr_ids[s].reshape(-1), parent)
+        weight = jnp.where(is_parent, wplane[s].reshape(-1), weight)
     # root keeps itself with weight 0
     idx = jnp.arange(n, dtype=jnp.int32)
     parent = jnp.where(idx == 0, 0, parent)
