@@ -26,6 +26,7 @@ prefilter at cpp:174).
 from __future__ import annotations
 
 import math
+import os
 from functools import partial
 from typing import NamedTuple, Tuple
 
@@ -158,11 +159,16 @@ def boruvka_mst(wr: jnp.ndarray, wd: jnp.ndarray,
         mine = jnp.where(minkey < big_w, minkey & ((1 << idx_bits) - 1), big_i)
         has = mine < big_i
 
-        # hooking: comp c -> component at the other end of its min edge
-        # (fused: one [N,2] endpoint gather + one [2N] label gather)
+        # hooking: comp c -> component at the other end of its min edge.
+        # Per-edge endpoint LABELS are plane shifts of c2 (edges are grid
+        # edges), so one [N,2]-row gather of the label-pair table replaces
+        # the former [N,2] endpoint gather + [2N]-row label gather.
         sel = jnp.clip(mine, 0, e - 1)
-        uv = jnp.stack([eu, ev], 1)[sel]                     # [N, 2]
-        cuv = comp[uv.reshape(-1)].reshape(n, 2)
+        cu_e = jnp.concatenate([c2[:, :-1].reshape(-1),
+                                c2[:-1, :].T.reshape(-1)])
+        cv_e = jnp.concatenate([c2[:, 1:].reshape(-1),
+                                c2[1:, :].T.reshape(-1)])
+        cuv = jnp.stack([cu_e, cv_e], 1)[sel]                # [N, 2]
         other = jnp.where(cuv[:, 0] == jnp.arange(n, dtype=jnp.int32),
                           cuv[:, 1], cuv[:, 0])
         parent = jnp.where(has, other, jnp.arange(n, dtype=jnp.int32))
@@ -503,7 +509,10 @@ def boruvka_mst_contracted(wr: jnp.ndarray, wd: jnp.ndarray) -> jnp.ndarray:
         cu, cv, wkey, cu != cv, c_cap, e_cap1)
 
     # --- phase 3: a few rounds, then contract once more ---
-    r2 = 3
+    # (2 rounds: components then hold >= 2^4 nodes; the while_loop phase on
+    # the twice-contracted graph is ~10x cheaper per round than a compact
+    # round at e_cap1, so contracting a round earlier is a net win)
+    r2 = 2
     euv = jnp.stack([eu2, ev2], 1)
     comp2 = jnp.arange(c_cap, dtype=jnp.int32)
     chosen1 = jnp.zeros((e_cap1,), jnp.bool_)
@@ -619,8 +628,12 @@ def _grid_round_body(wr, wd, eu, ev, idx_bits):
                          big_i)
         has = mine < big_i
         sel = jnp.clip(mine, 0, e - 1)
-        uv = jnp.stack([eu, ev], 1)[sel]
-        cuv = comp[uv.reshape(-1)].reshape(n, 2)
+        # per-edge endpoint labels as plane shifts (see boruvka_mst)
+        cu_e = jnp.concatenate([c2[:, :-1].reshape(-1),
+                                c2[:-1, :].T.reshape(-1)])
+        cv_e = jnp.concatenate([c2[:, 1:].reshape(-1),
+                                c2[1:, :].T.reshape(-1)])
+        cuv = jnp.stack([cu_e, cv_e], 1)[sel]
         other = jnp.where(cuv[:, 0] == jnp.arange(n, dtype=jnp.int32),
                           cuv[:, 1], cuv[:, 0])
         parent = jnp.where(has, other, jnp.arange(n, dtype=jnp.int32))
@@ -683,17 +696,32 @@ def build_tree(image: jnp.ndarray, prefilter: bool = True,
     return root_tree(in_mst, wr, wd)
 
 
-def tree_filter(tree: RootedTree, values: jnp.ndarray, sigma: float = 0.1) -> jnp.ndarray:
-    """Two-pass MST filter (qx_tree_filter.cpp:61-117) via pointer doubling.
+def tree_filter(tree: RootedTree, values: jnp.ndarray, sigma: float = 0.1,
+                peels: int = 12) -> jnp.ndarray:
+    """Two-pass MST filter (qx_tree_filter.cpp:61-117), peel-structured.
 
     values: [N, D] (or [N]) per-node vectors. Similarity per node-parent
     edge: sim = exp(-weight / (255*sigma)) (update_table cpp:21-25).
 
-    Up pass  S^(p) = C(p) + sum_children sim_c * S^(c)  — a linear system
-    S^ = (I - M)^-1 C with M nilpotent, solved as  prod_i (I + M^(2^i)) C:
-    each doubling round is one segment-sum over 2^i-th ancestors.
-    Down pass S(c) = sim_c * S(parent(c)) + (1 - sim_c^2) * S^(c) — same
-    doubling with pure gathers.
+    Up pass  S^(p) = C(p) + sum_children sim_c * S^(c); down pass
+    S(c) = sim_c * S(parent(c)) + (1 - sim_c^2) * S^(c).
+
+    Tree edges are GRID edges (the tree comes from the image MST), so the
+    recurrences run in peel order as pure plane math: each peel round
+    finalizes the current leaves (their children are already final) and
+    pushes sim*S^ into the parent plane via 4 masked shifts — no gathers.
+    ~80% of nodes finalize in ``peels`` rounds at Teddy scale; only the
+    surviving CORE runs the pointer-doubling rounds (segment-sum + fused
+    gather per round), compacted 3x behind a lax.cond (the full-size
+    branch keeps adversarial path-shaped trees correct). The down pass
+    mirrors it: core doubling, then reverse-order peel rounds.
+
+    Supports multi-root forests (e.g. the L/R two-tree fusion in
+    ops/nl.py): roots never peel and keep sim = 0. Float association
+    differs from the pure-doubling form by round order (documented
+    tolerance in tests; disparities are tie-budgeted vs the reference).
+
+    Set MYSM_NO_TREEPEEL=1 to restore the pure pointer-doubling path.
     """
     n = tree.parent.shape[0]
     squeeze = values.ndim == 1
@@ -705,6 +733,27 @@ def tree_filter(tree: RootedTree, values: jnp.ndarray, sigma: float = 0.1) -> jn
     # sum bit-identical to filtering each tree alone).
     is_root = tree.parent == jnp.arange(n)
     sim = jnp.where(is_root, 0.0, sim)
+    try:                       # shape is traced when the tree crosses a
+        h, w = (int(tree.shape[0]), int(tree.shape[1]))  # jit boundary
+    except (TypeError, jax.errors.TracerIntegerConversionError):
+        h = w = 0
+    if (peels > 0 and h * w == n
+            and not os.environ.get("MYSM_NO_TREEPEEL")):
+        out = _tree_filter_peeled(tree.parent, sim, x, h, w, peels)
+        return out[:, 0] if squeeze else out
+    return _tree_filter_doubling(tree.parent, sim, x, squeeze)
+
+
+def _tree_filter_doubling(parent: jnp.ndarray, sim: jnp.ndarray,
+                          x: jnp.ndarray, squeeze: bool) -> jnp.ndarray:
+    """Pure pointer-doubling two-pass filter (any functional tree).
+
+    Up pass: S^ = (I - M)^-1 C with M nilpotent, solved as
+    prod_i (I + M^(2^i)) C — each doubling round is one segment-sum over
+    2^i-th ancestors. Down pass: same doubling with pure gathers.
+    """
+    n = parent.shape[0]
+    is_root = parent == jnp.arange(n)
 
     # Doubling rounds run until every path product has crossed the root
     # (sim[root] = 0 makes wt exactly 0 there), i.e. 2^k >= tree height —
@@ -723,7 +772,7 @@ def tree_filter(tree: RootedTree, values: jnp.ndarray, sigma: float = 0.1) -> jn
         return jnp.any(state[1] > 0.0)
 
     s_up, _, _ = jax.lax.while_loop(
-        live, up_body, (x.astype(jnp.float32), sim, tree.parent))
+        live, up_body, (x.astype(jnp.float32), sim, parent))
 
     # down pass: S = sim * S(parent) + (1 - sim^2) * S_up, S(root) = S_up(root)
     b = (1.0 - sim * sim)[:, None] * s_up
@@ -736,5 +785,136 @@ def tree_filter(tree: RootedTree, values: jnp.ndarray, sigma: float = 0.1) -> jn
         return (s + wt[:, None] * packed[:, :-2], wt * packed[:, -2],
                 packed[:, -1].astype(jnp.int32))
 
-    s, _, _ = jax.lax.while_loop(live, down_body, (b, sim, tree.parent))
+    s, _, _ = jax.lax.while_loop(live, down_body, (b, sim, parent))
     return s[:, 0] if squeeze else s
+
+
+def _tree_filter_peeled(parent: jnp.ndarray, sim: jnp.ndarray,
+                        x: jnp.ndarray, h: int, w: int,
+                        peels: int) -> jnp.ndarray:
+    """Peel-structured two-pass filter over a grid tree/forest.
+
+    parent: [N] grid-neighbor parents (roots self); sim: [N] with 0 at
+    roots; x: [N, D]. See :func:`tree_filter` for the algorithm sketch.
+    """
+    n, d = x.shape
+    ids2 = jnp.arange(n, dtype=jnp.int32).reshape(h, w)
+    p2 = parent.reshape(h, w)
+    delta = p2 - ids2
+    is_root2 = delta == 0
+
+    def shift2(v, dv, du):
+        """Value at the (dv, du)-neighbor; zero/False past the border."""
+        fill = False if v.dtype == jnp.bool_ else 0
+        pad = ((max(0, -dv), max(0, dv)), (max(0, -du), max(0, du)))
+        if v.ndim == 3:
+            pad = pad + ((0, 0),)
+        p = jnp.pad(v, pad, constant_values=fill)
+        return p[pad[0][0] + dv: pad[0][0] + dv + h,
+                 pad[1][0] + du: pad[1][0] + du + w]
+
+    # static tree-structure masks: parent direction / children directions
+    offs = {0: 1, 1: w, 2: -1, 3: -w}                  # slot -> id delta
+    par_slot = [(~is_root2) & (delta == offs[s]) for s in range(4)]
+    # node has a child at direction s iff the s-neighbor's parent slot
+    # points back (reverse slot)
+    child = [shift2(par_slot[_REV_SLOT[s]], dv, du)
+             for s, (dv, du) in enumerate(_SLOT_OFF)]
+
+    simp = sim.reshape(h, w)
+    simv = [shift2(simp, dv, du)[..., None]            # sim of s-child edge
+            for s, (dv, du) in enumerate(_SLOT_OFF)]
+
+    # --- up pass, peel phase ---
+    V = x.astype(jnp.float32).reshape(h, w, d)
+    alive = jnp.ones((h, w), jnp.bool_)
+    leaf_masks = []
+    for _ in range(peels):
+        has_child = jnp.zeros((h, w), jnp.bool_)
+        for s, (dv, du) in enumerate(_SLOT_OFF):
+            has_child = has_child | (child[s] & shift2(alive, dv, du))
+        leaf = alive & ~is_root2 & ~has_child
+        leaf_masks.append(leaf)
+        # push finalized children into parents (slot order R, D, L, U)
+        for s, (dv, du) in enumerate(_SLOT_OFF):
+            m = child[s] & shift2(leaf, dv, du)
+            V = V + jnp.where(m[..., None], simv[s] * shift2(V, dv, du), 0.0)
+        alive = alive & ~leaf
+
+    # --- up + down on the core (pointer doubling, compacted 3x if the
+    # live count allows; full-size branch for path-shaped trees) ---
+    core = alive.reshape(-1)
+    cnt = jnp.sum(core.astype(jnp.int32))
+    cap_fast = max(64, n // 3)
+    flat = V.reshape(n, d)
+    up_full, down_full = jax.lax.cond(
+        cnt <= cap_fast,
+        lambda: _filter_core(flat, sim, parent, core, cap_fast),
+        lambda: _filter_core(flat, sim, parent, core, n))
+    # S_up stays valid for peeled nodes; core rows updated
+    V_up = jnp.where(core[:, None], up_full, flat).reshape(h, w, d)
+    S = jnp.where(core[:, None], down_full, flat).reshape(h, w, d)
+
+    # --- down pass, reverse peel order: S = sim*S(parent) + (1-sim^2)*S^ ---
+    fac = (1.0 - simp * simp)[..., None]
+    for leaf in reversed(leaf_masks):
+        upd = jnp.zeros((h, w, d), jnp.float32)
+        for s, (dv, du) in enumerate(_SLOT_OFF):
+            m = leaf & par_slot[s]
+            upd = upd + jnp.where(m[..., None],
+                                  simp[..., None] * shift2(S, dv, du), 0.0)
+        S = jnp.where(leaf[..., None], upd + fac * V_up, S)
+    return S.reshape(n, d)
+
+
+def _filter_core(flat: jnp.ndarray, sim: jnp.ndarray, parent: jnp.ndarray,
+                 core: jnp.ndarray, cap: int):
+    """Doubling up+down passes on the core rows, compacted to ``cap``.
+
+    flat: [N, D] accumulated values (peeled subtree sums already pushed
+    into their core attachment points); core: [N] bool. A core node's
+    parent is core (aliveness is monotone toward the root), so the
+    compacted doubling never leaves the core. Returns (up, down) [N, D]
+    — valid at core rows only.
+    """
+    n, d = flat.shape
+    iota = jnp.arange(n, dtype=jnp.int32)
+    cid = _cumsum_flat(core.astype(jnp.int32)) - 1
+    slot = jnp.where(core, cid, cap)
+    oldid = jnp.full((cap,), n, jnp.int32).at[slot].set(iota, mode="drop")
+    row_ok = oldid < n
+    src = jnp.where(row_ok, oldid, 0)
+    xc = jnp.where(row_ok[:, None], flat[src], 0.0)     # [cap, D]
+    simc = jnp.where(row_ok, sim[src], 0.0)
+    parc = jnp.where(row_ok, cid[parent[src]], jnp.arange(cap))
+    is_root_c = parc == jnp.arange(cap)
+
+    def up_body(state):
+        s_up, wt, par = state
+        contrib = jax.ops.segment_sum(wt[:, None] * s_up, par,
+                                      num_segments=cap)
+        wp = jnp.concatenate([wt[:, None],
+                              par.astype(jnp.float32)[:, None]], 1)[par]
+        return s_up + contrib, wt * wp[:, 0], wp[:, 1].astype(jnp.int32)
+
+    def live(state):
+        return jnp.any(state[1] > 0.0)
+
+    s_up, _, _ = jax.lax.while_loop(live, up_body, (xc, simc, parc))
+
+    b = (1.0 - simc * simc)[:, None] * s_up
+    b = jnp.where(is_root_c[:, None], s_up, b)
+
+    def down_body(state):
+        s, wt, par = state
+        packed = jnp.concatenate(
+            [s, wt[:, None], par.astype(jnp.float32)[:, None]], 1)[par]
+        return (s + wt[:, None] * packed[:, :-2], wt * packed[:, -2],
+                packed[:, -1].astype(jnp.int32))
+
+    s, _, _ = jax.lax.while_loop(live, down_body, (b, simc, parc))
+
+    # scatter core rows back to full size (cap rows, one scatter each)
+    up_full = jnp.zeros((n, d), jnp.float32).at[oldid].set(s_up, mode="drop")
+    down_full = jnp.zeros((n, d), jnp.float32).at[oldid].set(s, mode="drop")
+    return up_full, down_full
