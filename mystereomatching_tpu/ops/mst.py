@@ -423,11 +423,12 @@ def _dedup_contract(cu, cv, rowkey, alive, c_cap: int, e_cap: int):
     live_s = pk_s != big_pk
     big = jnp.int32(2**31 - 1)
     sid_d = jnp.where(live_s, sid, e_cap)               # dead -> dropped
-    # per-pair minimum rowkey (the only parallel edge the unique MST can use)
-    min_key = jnp.full((e_cap,), big, jnp.int32).at[sid_d].min(
-        key_s, mode="drop")
-    pair_pk = jnp.full((e_cap,), big_pk, jnp.int32).at[sid_d].min(
-        pk_s, mode="drop")
+    # per-pair minimum rowkey (the only parallel edge the unique MST can
+    # use) + the pair id, in ONE fused [E,2] scatter-min (pk is constant
+    # within a segment, so min(pk) == pk; big == big_pk keeps init valid)
+    mins = jnp.full((e_cap, 2), big, jnp.int32).at[sid_d].min(
+        jnp.stack([key_s, pk_s], 1), mode="drop")
+    min_key, pair_pk = mins[:, 0], mins[:, 1]
     # rows sorted by rowkey => contracted "min edge" == "min row index"
     # (invalid rows carry key big and sort to the back)
     min_key, pair_pk = jax.lax.sort((min_key, pair_pk), num_keys=1)
@@ -443,20 +444,32 @@ def _contracted_rounds(euv, valid, c_cap: int):
 
     Rows are sorted by global tie order; returns chosen [e_cap] bool —
     rows whose edge joined the MST. The cond's alive test costs one tiny
-    [e_cap, 2] gather (e_cap here is ~N/43 of the original problem)."""
+    [e_cap, 2] gather (e_cap here is ~N/43 of the original problem).
+    Each round's chosen rows land in a [max_rounds, c_cap] buffer; ONE
+    scatter at the end marks them (scatters have a latency floor that
+    dominates rounds at this size)."""
     e_cap = euv.shape[0]
     body = _compact_round_body(euv, valid, c_cap)
+    max_rounds = max(1, math.ceil(math.log2(max(c_cap, 2))))
 
     def cond(state):
-        comp2, _ = state
+        comp2, _, i = state
         cuv = comp2[euv.reshape(-1)].reshape(e_cap, 2)
-        return jnp.any(valid & (cuv[:, 0] != cuv[:, 1]))
+        return (i < max_rounds) & jnp.any(valid & (cuv[:, 0] != cuv[:, 1]))
 
-    _, chosen = jax.lax.while_loop(
-        cond, lambda s: body(*s),
+    def step(state):
+        comp2, buf, i = state
+        comp2, rows = body(comp2)
+        buf = jax.lax.dynamic_update_slice(buf, rows[None], (i, 0))
+        return comp2, buf, i + 1
+
+    _, buf, _ = jax.lax.while_loop(
+        cond, step,
         (jnp.arange(c_cap, dtype=jnp.int32),
-         jnp.zeros((e_cap,), jnp.bool_)))
-    return chosen
+         jnp.full((max_rounds, c_cap), e_cap, jnp.int32),
+         jnp.int32(0)))
+    return (jnp.zeros((e_cap,), jnp.int32)
+            .at[buf.reshape(-1)].max(1, mode="drop") > 0)
 
 
 def boruvka_mst_contracted(wr: jnp.ndarray, wd: jnp.ndarray) -> jnp.ndarray:
@@ -508,38 +521,50 @@ def boruvka_mst_contracted(wr: jnp.ndarray, wd: jnp.ndarray) -> jnp.ndarray:
     eu2, ev2, key2, valid2 = _dedup_contract(
         cu, cv, wkey, cu != cv, c_cap, e_cap1)
 
-    # --- phase 3: a few rounds, then contract once more ---
-    # (2 rounds: components then hold >= 2^4 nodes; the while_loop phase on
-    # the twice-contracted graph is ~10x cheaper per round than a compact
-    # round at e_cap1, so contracting a round earlier is a net win)
-    r2 = 2
+    # --- phase 3: contraction cascade — 2 compact rounds per level, then
+    # contract again (components grow >= 4x per level, so sizes drop
+    # geometrically: 3n/4 -> 3n/16 -> 3n/64 rows). Rounds are row-bound,
+    # so contracting every 2 rounds beats running more rounds at any one
+    # level. Each level remembers (key_k -> parent-level row, valid_k,
+    # this level's chosen rows) for the unwind.
     euv = jnp.stack([eu2, ev2], 1)
-    comp2 = jnp.arange(c_cap, dtype=jnp.int32)
-    chosen1 = jnp.zeros((e_cap1,), jnp.bool_)
-    body = _compact_round_body(euv, valid2, c_cap)
-    for _ in range(r2):
-        comp2, chosen1 = body(comp2, chosen1)
+    valid_k, key_k = valid2, key2
+    c_k = c_cap
+    levels = []                       # (rows_of_rounds, key_k, valid_k, e_cap)
+    while c_k > 1024:
+        e_cap_k = euv.shape[0]
+        body = _compact_round_body(euv, valid_k, c_k)
+        comp2 = jnp.arange(c_k, dtype=jnp.int32)
+        rows_k = []
+        for _ in range(2):
+            comp2, rows = body(comp2)
+            rows_k.append(rows)
+        levels.append((rows_k, key_k, valid_k, e_cap_k))
+        c_next = c_k >> 2             # 2 rounds => components >= 4x nodes
+        is_root2 = (comp2 == jnp.arange(c_k, dtype=jnp.int32)).astype(jnp.int32)
+        newc2 = _cumsum_flat(is_root2) - 1
+        comp2_c = newc2[comp2]
+        cuv2 = comp2_c[euv.reshape(-1)].reshape(-1, 2)
+        eu3, ev3, key_k, valid_k = _dedup_contract(
+            cuv2[:, 0], cuv2[:, 1], jnp.arange(e_cap_k, dtype=jnp.int32),
+            valid_k & (cuv2[:, 0] != cuv2[:, 1]), c_next, 3 * c_next)
+        euv = jnp.stack([eu3, ev3], 1)
+        c_k = c_next
 
-    c_cap2 = n >> (r1 + r2)
-    is_root2 = (comp2 == jnp.arange(c_cap, dtype=jnp.int32)).astype(jnp.int32)
-    newc2 = _cumsum_flat(is_root2) - 1
-    comp2_c = newc2[comp2]
-    cu2 = comp2_c[euv.reshape(-1)].reshape(-1, 2)
-    eu3, ev3, key3, valid3 = _dedup_contract(
-        cu2[:, 0], cu2[:, 1], jnp.arange(e_cap1, dtype=jnp.int32),
-        valid2 & (cu2[:, 0] != cu2[:, 1]), c_cap2, 3 * c_cap2)
+    # --- phase 4: finish on the deepest contracted graph ---
+    chosen = _contracted_rounds(euv, valid_k, c_k)
 
-    # --- phase 4: finish on the twice-contracted graph ---
-    chosen3 = _contracted_rounds(jnp.stack([eu3, ev3], 1), valid3, c_cap2)
-
-    # unwind: level-2 rows -> level-1 rows -> original edge ids
-    rows1 = jnp.where(chosen3 & valid3, key3, 0)        # level-1 row ids
-    lvl1 = jnp.zeros((e_cap1,), jnp.bool_).at[rows1].max(
-        chosen3 & valid3, mode="drop")
-    chosen1 = chosen1 | lvl1
-    orig = jnp.where(chosen1 & valid2, key2 & ((1 << idx_bits) - 1), 0)
+    # unwind level by level: deeper chosen rows map through key_k to this
+    # level's rows; merge with this level's round rows in ONE scatter
+    for rows_k, key_up, valid_up, e_cap_k in reversed(levels):
+        mapped = jnp.where(chosen & valid_k, key_k, e_cap_k)
+        chosen = (jnp.zeros((e_cap_k,), jnp.int32)
+                  .at[jnp.concatenate(rows_k + [mapped])]
+                  .max(1, mode="drop") > 0)
+        key_k, valid_k = key_up, valid_up
+    orig = jnp.where(chosen & valid_k, key_k & ((1 << idx_bits) - 1), 0)
     in_mst = in_mst | jnp.zeros((e,), jnp.bool_).at[orig].max(
-        chosen1 & valid2, mode="drop")
+        chosen & valid_k, mode="drop")
     return in_mst
 
 
@@ -592,7 +617,14 @@ def _grid_round1(wr, wd, idx_bits):
     e_d = (slot == 1)[: h - 1, :] | (slot == 3)[1:, :]
     in_mst = jnp.concatenate([e_r.reshape(-1), e_d.T.reshape(-1)])
 
-    comp = _jump_to_root(parent2.reshape(-1))
+    # first pointer jump as plane math (parents are grid neighbors:
+    # parent2[parent2] = parent2-at-the-chosen-neighbor), halving chain
+    # length before the gather-based jumps
+    pj = parent2
+    for s, (dv, du) in enumerate(_SLOT_OFF):
+        m = (slot == s) & (parent2 != ids2)
+        pj = jnp.where(m, shift2(parent2, dv, du, 0), pj)
+    comp = _jump_to_root(pj.reshape(-1))
     return comp, in_mst
 
 
@@ -652,12 +684,17 @@ def _grid_round_body(wr, wd, eu, ev, idx_bits):
 
 
 def _compact_round_body(euv, valid, c_cap: int):
-    """One Borůvka round on a contracted simple graph (rows = tie order)."""
+    """One Borůvka round on a contracted simple graph (rows = tie order).
+
+    Returns (comp2', chosen_rows): chosen_rows is [c_cap] int32 row ids
+    whose edge joined the MST this round (sentinel e_cap elsewhere) — the
+    caller scatters ALL rounds' rows at once, saving a per-round scatter.
+    """
     e_cap = euv.shape[0]
     big = jnp.int32(e_cap)
     iota_c = jnp.arange(c_cap, dtype=jnp.int32)
 
-    def body(comp2, chosen):
+    def body(comp2):
         cuv = comp2[euv.reshape(-1)].reshape(e_cap, 2)
         cu, cv = cuv[:, 0], cuv[:, 1]
         alive = valid & (cu != cv)
@@ -672,11 +709,10 @@ def _compact_round_body(euv, valid, c_cap: int):
         parent = jnp.where(has, other, iota_c)
         two_cycle = parent[parent] == iota_c
         parent = jnp.where(two_cycle & (parent > iota_c), iota_c, parent)
-        mark = (has & (parent != iota_c)).astype(jnp.int32)
-        chosen = chosen | (jnp.zeros((e_cap,), jnp.int32)
-                           .at[rows].max(mark, mode="drop") > 0)
+        mark = has & (parent != iota_c)
+        chosen_rows = jnp.where(mark, minrow, big)
         parent = _jump_to_root(parent)
-        return parent[comp2], chosen
+        return parent[comp2], chosen_rows
 
     return body
 
