@@ -115,7 +115,7 @@ def boruvka_mst(wr: jnp.ndarray, wd: jnp.ndarray,
     # large frames through build_tree_host (nl_tree_host=1). (ADVICE r1:
     # the former fixed 20-bit field silently corrupted trees > 0.52 MP.)
     idx_bits = max(20, int(e).bit_length())
-    if 8 + idx_bits > 31:
+    if 9 + idx_bits > 31:          # weights reach 256 (batch boundaries)
         raise ValueError(
             f"boruvka_mst: {e} edges need {idx_bits} index bits; "
             "int32 packed keys overflow — use the host tree build "
@@ -261,9 +261,12 @@ def _rank_tour(is_edge: jnp.ndarray, succ: jnp.ndarray, nc: int,
     dist_c = jnp.where(succ_c != iota_c, 1, 0)
     st = jnp.stack([dist_c, succ_c], axis=1)           # [nc, 2]
     rounds = math.ceil(math.log2(max(nc, 2)))
-    for _ in range(rounds):
+
+    def rank_round(_, st):
         g = st[st[:, 1]]                               # one fused gather
-        st = jnp.stack([st[:, 0] + g[:, 0], g[:, 1]], axis=1)
+        return jnp.stack([st[:, 0] + g[:, 0], g[:, 1]], axis=1)
+
+    st = jax.lax.fori_loop(0, rounds, rank_round, st)
     # back to slot space by SCATTER (nc rows), not gather (4N rows): dist =
     # steps to tour end, so earlier edge => larger dist => smaller -dist
     oldid = jnp.full((nc,), de, jnp.int32).at[slot].set(iota, mode="drop")
@@ -271,8 +274,13 @@ def _rank_tour(is_edge: jnp.ndarray, succ: jnp.ndarray, nc: int,
 
 
 def root_tree(in_mst: jnp.ndarray, wr: jnp.ndarray, wd: jnp.ndarray,
-              peels: int = 20) -> RootedTree:
+              peels: int = 20, frame_h: int = None) -> RootedTree:
     """Orient the MST toward node 0: leaf peeling + core Euler ranking.
+
+    ``frame_h``: for batched builds, the stacked plane holds one frame per
+    ``frame_h`` rows and the spanning FOREST is rooted per frame at
+    (k*frame_h, 0) — every Euler tour is cut before its own root's first
+    slot, so all frames rank in the same doubling rounds.
 
     Phase 1 — ``peels`` rounds of leaf removal, PURE 2-D plane math (tree
     edges are grid edges, so degrees and the unique-alive-neighbor select
@@ -309,20 +317,31 @@ def root_tree(in_mst: jnp.ndarray, wr: jnp.ndarray, wd: jnp.ndarray,
     nbr_ids = [shift2(ids2, dv, du, 0) for dv, du in _SLOT_OFF]
 
     # --- phase 1: leaf peeling ---
+    if frame_h is None:
+        frame_h = h
+    roots2 = ((jnp.arange(h, dtype=jnp.int32)[:, None] % frame_h == 0)
+              & (jnp.arange(w, dtype=jnp.int32)[None, :] == 0))
     alive = jnp.ones((h, w), jnp.bool_)
-    notroot = ids2 != 0
+    notroot = ~roots2
     parent2 = ids2
     weight2 = jnp.zeros((h, w), jnp.int32)
-    for _ in range(peels):
+    wplane_st = jnp.stack(wplane)                     # [4,H,W]
+    nbr_st = jnp.stack(nbr_ids)
+
+    def peel_round(_, state):                         # fori: one HLO body
+        alive, parent2, weight2 = state
         ea = [slots[s] & shift2(alive, dv, du, False)
               for s, (dv, du) in enumerate(_SLOT_OFF)]   # alive edge at slot
         deg = (ea[0].astype(jnp.int32) + ea[1] + ea[2] + ea[3])
         leaf = alive & notroot & (deg == 1)
         for s in range(4):
             pm = leaf & ea[s]
-            parent2 = jnp.where(pm, nbr_ids[s], parent2)
-            weight2 = jnp.where(pm, wplane[s], weight2)
-        alive = alive & ~leaf
+            parent2 = jnp.where(pm, nbr_st[s], parent2)
+            weight2 = jnp.where(pm, wplane_st[s], weight2)
+        return alive & ~leaf, parent2, weight2
+
+    alive, parent2, weight2 = jax.lax.fori_loop(
+        0, peels, peel_round, (alive, parent2, weight2))
 
     # core tree edges: both endpoints alive
     core = jnp.stack([slots[s] & alive & shift2(alive, dv, du, False)
@@ -330,25 +349,37 @@ def root_tree(in_mst: jnp.ndarray, wr: jnp.ndarray, wd: jnp.ndarray,
     pres_t = core.reshape(4, n).T                     # [N,4]
 
     # --- phase 2: Euler tour of the core ---
+    # per-root start edge: the root's first present core slot (plane mask,
+    # so every frame's tour is cut in the same pass)
+    taken = jnp.zeros((h, w), jnp.bool_)
+    is_start = []
+    for s in range(4):
+        is_start.append(roots2 & core[s] & ~taken)
+        taken = taken | core[s]
+
     # successor for every potential directed edge (u, s): arrive at v,
-    # continue through v's next present slot after _REV_SLOT[s]
-    succ = []
+    # continue through v's next present slot after _REV_SLOT[s]; an edge
+    # whose successor would be a tour start ends its tour instead
+    succ, succ_start = [], []
     for s, (dv, du) in enumerate(_SLOT_OFF):
         r = _REV_SLOT[s]
         vid = nbr_ids[s]
         nxt = jnp.full((h, w), -1, jnp.int32)
+        nst = jnp.zeros((h, w), jnp.bool_)
         for k in (4, 3, 2, 1):                        # reverse priority: k=1 wins
             cand = (r + k) % 4
             pres_vc = shift2(core[cand], dv, du, False)
             nxt = jnp.where(pres_vc, vid * 4 + cand, nxt)
+            nst = jnp.where(pres_vc, shift2(is_start[cand], dv, du, False),
+                            nst)
         succ.append(nxt.reshape(-1))
+        succ_start.append(nst.reshape(-1))
     succ = jnp.stack(succ, 1).reshape(de)             # [4N]
+    succ_start = jnp.stack(succ_start, 1).reshape(de)
 
-    # start edge: node 0's first present slot; cut the cycle before e0
-    e0 = jnp.argmax(pres_t[0], axis=0).astype(jnp.int32)
     iota = jnp.arange(de, dtype=jnp.int32)
     is_edge = pres_t.reshape(de)
-    succ = jnp.where(succ == e0, iota, succ)
+    succ = jnp.where(succ_start, iota, succ)
     succ = jnp.where(is_edge, succ, iota)
 
     nc_fast = max(64, (2 * n) // 4)
@@ -374,10 +405,10 @@ def root_tree(in_mst: jnp.ndarray, wr: jnp.ndarray, wd: jnp.ndarray,
         is_parent = pres_t[:, s] & (in_rank < out_rank)
         parent = jnp.where(is_parent, nbr_ids[s].reshape(-1), parent)
         weight = jnp.where(is_parent, wplane[s].reshape(-1), weight)
-    # root keeps itself with weight 0
-    idx = jnp.arange(n, dtype=jnp.int32)
-    parent = jnp.where(idx == 0, 0, parent)
-    weight = jnp.where(idx == 0, 0, weight)
+    # roots keep themselves with weight 0
+    rflat = roots2.reshape(-1)
+    parent = jnp.where(rflat, jnp.arange(n, dtype=jnp.int32), parent)
+    weight = jnp.where(rflat, 0, weight)
     return RootedTree(parent=parent, weight=weight, shape=(h, w))
 
 
@@ -408,34 +439,31 @@ def _dedup_contract(cu, cv, rowkey, alive, c_cap: int, e_cap: int):
     edge identity) of the pair's minimum edge.
     """
     e = cu.shape[0]
-    a = jnp.minimum(cu, cv)
-    b = jnp.maximum(cu, cv)
-    if c_cap * c_cap >= 2**31:
-        raise ValueError(f"_dedup_contract: c_cap={c_cap} pair key overflows "
-                         "int32 — contract later (more grid rounds)")
-    big_pk = jnp.int32(2**31 - 1)
-    pk = jnp.where(alive, a * jnp.int32(c_cap) + b, big_pk)
-    # sort edges by pair id; payload rides along (one fused sort)
-    pk_s, key_s = jax.lax.sort((pk, rowkey), num_keys=1)
-    start = jnp.concatenate([jnp.ones((1,), jnp.int32),
-                             (pk_s[1:] != pk_s[:-1]).astype(jnp.int32)])
-    sid = _cumsum_flat(start) - 1                       # [E] segment ids
-    live_s = pk_s != big_pk
     big = jnp.int32(2**31 - 1)
+    a = jnp.where(alive, jnp.minimum(cu, cv), jnp.int32(c_cap))
+    b = jnp.where(alive, jnp.maximum(cu, cv), jnp.int32(c_cap))
+    # sort edges lexicographically by pair (a, b) — no packed key, so
+    # c_cap is unconstrained (batched frames push it past sqrt(2^31));
+    # payload rides along in one fused sort. Dead edges (a = c_cap) last.
+    a_s, b_s, key_s = jax.lax.sort((a, b, rowkey), num_keys=2)
+    start = jnp.concatenate([jnp.ones((1,), jnp.int32),
+                             ((a_s[1:] != a_s[:-1])
+                              | (b_s[1:] != b_s[:-1])).astype(jnp.int32)])
+    sid = _cumsum_flat(start) - 1                       # [E] segment ids
+    live_s = a_s != c_cap
     sid_d = jnp.where(live_s, sid, e_cap)               # dead -> dropped
     # per-pair minimum rowkey (the only parallel edge the unique MST can
-    # use) + the pair id, in ONE fused [E,2] scatter-min (pk is constant
-    # within a segment, so min(pk) == pk; big == big_pk keeps init valid)
-    mins = jnp.full((e_cap, 2), big, jnp.int32).at[sid_d].min(
-        jnp.stack([key_s, pk_s], 1), mode="drop")
-    min_key, pair_pk = mins[:, 0], mins[:, 1]
+    # use) + the endpoints, in ONE fused [E,3] scatter-min (a/b are
+    # constant within a segment, so min is the identity on them)
+    mins = jnp.full((e_cap, 3), big, jnp.int32).at[sid_d].min(
+        jnp.stack([key_s, a_s, b_s], 1), mode="drop")
     # rows sorted by rowkey => contracted "min edge" == "min row index"
     # (invalid rows carry key big and sort to the back)
-    min_key, pair_pk = jax.lax.sort((min_key, pair_pk), num_keys=1)
+    min_key, eu2, ev2 = jax.lax.sort(
+        (mins[:, 0], mins[:, 1], mins[:, 2]), num_keys=1)
     valid = min_key != big
-    safe_pk = jnp.where(valid, pair_pk, 0)
-    eu2 = safe_pk // jnp.int32(c_cap)
-    ev2 = safe_pk % jnp.int32(c_cap)
+    eu2 = jnp.where(valid, eu2, 0)
+    ev2 = jnp.where(valid, ev2, 0)
     return eu2, ev2, min_key, valid
 
 
@@ -490,7 +518,7 @@ def boruvka_mst_contracted(wr: jnp.ndarray, wd: jnp.ndarray) -> jnp.ndarray:
     eu, ev, ew = _flatten_edges(wr, wd)
     e = eu.shape[0]
     idx_bits = max(20, int(e).bit_length())
-    if 8 + idx_bits > 31:
+    if 9 + idx_bits > 31:          # weights reach 256 (batch boundaries)
         raise ValueError("boruvka_mst_contracted: packed key overflow — "
                          "use the host tree build for frames this large")
     wkey = (ew << idx_bits) | jnp.arange(e, dtype=jnp.int32)
@@ -732,6 +760,36 @@ def build_tree(image: jnp.ndarray, prefilter: bool = True,
     return root_tree(in_mst, wr, wd)
 
 
+def build_tree_batch(images: jnp.ndarray,
+                     prefilter: bool = True) -> RootedTree:
+    """B frames -> ONE RootedTree forest over the stacked [B*h, w] grid.
+
+    Per-frame parents/weights are bit-identical to :func:`build_tree` on
+    each frame alone: the inter-frame boundary down-edges get weight 256,
+    so in the global Kruskal tie order every intra-frame edge (weight <=
+    255) precedes every cross edge — by the cut property each frame's MST
+    is exactly its standalone MST, and the B-1 cross edges (used only to
+    connect finished frames) are stripped after the build. All Borůvka
+    rounds, peeling, and tour ranking then run ONCE for the whole batch,
+    amortizing the per-round latency floors across frames.
+    """
+    b, h, w = images.shape[:3]
+    wrs, wds = jax.vmap(lambda im: grid_edge_weights(im, prefilter))(images)
+    wr = wrs.reshape(b * h, w - 1)
+    wd = jnp.concatenate(
+        [wds, jnp.full((b, 1, w), 256, wds.dtype)], axis=1
+    ).reshape(b * h, w)[: b * h - 1]
+    in_mst = boruvka_mst_contracted(wr, wd)
+    # strip the cross edges (their rows are known: k*h - 1)
+    hh = b * h
+    e_r = in_mst[: hh * (w - 1)]
+    e_d = in_mst[hh * (w - 1):].reshape(w, hh - 1).T    # [(B*h-1), W]
+    keep = (jnp.arange(hh - 1, dtype=jnp.int32) % h) != (h - 1)
+    e_d = e_d & keep[:, None]
+    in_mst = jnp.concatenate([e_r, e_d.T.reshape(-1)])
+    return root_tree(in_mst, wr, wd, frame_h=h)
+
+
 def tree_filter(tree: RootedTree, values: jnp.ndarray, sigma: float = 0.1,
                 peels: int = 12) -> jnp.ndarray:
     """Two-pass MST filter (qx_tree_filter.cpp:61-117), peel-structured.
@@ -861,7 +919,9 @@ def _tree_filter_peeled(parent: jnp.ndarray, sim: jnp.ndarray,
     simv = [shift2(simp, dv, du)[..., None]            # sim of s-child edge
             for s, (dv, du) in enumerate(_SLOT_OFF)]
 
-    # --- up pass, peel phase ---
+    # --- up pass, peel phase (UNROLLED on purpose: a fori_loop version
+    # measured 36 ms vs 20 ms — the loop carry blocks XLA from fusing the
+    # masked pushes across rounds and forces leaf-stack copies) ---
     V = x.astype(jnp.float32).reshape(h, w, d)
     alive = jnp.ones((h, w), jnp.bool_)
     leaf_masks = []

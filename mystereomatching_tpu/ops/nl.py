@@ -72,6 +72,33 @@ def nl_aggregate(vol: jnp.ndarray, image: jnp.ndarray, sigma: float = 0.1,
     return filt.T.reshape(d_, h, w)
 
 
+def nl_aggregate_batch(vols: jnp.ndarray, images: jnp.ndarray,
+                       sigma: float = 0.1, prefilter: bool = True,
+                       normalize: bool = True) -> jnp.ndarray:
+    """NL aggregation of B volumes [B,D,H,W] guided by [B,H,W,3] images.
+
+    One stacked-forest tree build (:func:`mystereomatching_tpu.ops.mst.
+    build_tree_batch`) + one forest filter for the whole batch — per-frame
+    outputs are bit-identical to :func:`nl_aggregate` per frame (per-frame
+    MSTs are exact under the weight-256 boundary trick; forest segments
+    are disjoint), while the Borůvka/peel/ranking round costs amortize
+    across frames.
+    """
+    from mystereomatching_tpu.ops.mst import build_tree_batch
+
+    b, d_, h, w = vols.shape
+    tree = build_tree_batch(images, prefilter)
+    flat = vols.transpose(0, 2, 3, 1).reshape(b * h * w, d_)
+    if normalize:
+        vals = jnp.concatenate(
+            [flat, jnp.ones((b * h * w, 1), jnp.float32)], axis=1)
+        f = tree_filter(tree, vals, sigma)
+        filt = f[:, :d_] / jnp.maximum(f[:, d_:], 1e-12)
+    else:
+        filt = tree_filter(tree, flat, sigma)
+    return filt.reshape(b, h, w, d_).transpose(0, 3, 1, 2)
+
+
 def flip_corr_vol(vol: jnp.ndarray) -> jnp.ndarray:
     """Right-view volume with the reference's edge quirk
     (qx_stereo_flip_corr_vol, NL/qx_basic.cpp:577-588): vmR[d,y,x] =

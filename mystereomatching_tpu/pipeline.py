@@ -305,6 +305,50 @@ def match_pair(left: jnp.ndarray, right: jnp.ndarray, cfg: MatchConfig,
     return out
 
 
+def match_pair_nl_batch(lefts: jnp.ndarray, rights: jnp.ndarray,
+                        cfg: MatchConfig) -> Dict[str, jnp.ndarray]:
+    """Batched NL pipeline over B frames ([B,H,W,3] inputs).
+
+    Cost volumes, WTA, and refinement vmap per frame; the MST build and
+    tree filter run ONCE over the stacked [B*H, W] forest
+    (ops/mst.build_tree_batch + ops/nl.nl_aggregate_batch), so the
+    Borůvka/peel/ranking round latencies amortize across the batch and
+    the rooting's lax.cond stays a single scalar branch (a vmapped cond
+    would execute both branches per frame). Per-frame disparities are
+    bit-identical to :func:`match_pair`.
+    """
+    from mystereomatching_tpu.ops import nl as nl_ops
+
+    if cfg.aggregation != "nl" or cfg.nl_post_process or cfg.d_stream_block:
+        raise NotImplementedError(
+            "match_pair_nl_batch supports the single-volume NL preset")
+    lefts = lefts.astype(jnp.float32)
+    rights = rights.astype(jnp.float32)
+    need_arms = _needs_arms_for_cost(cfg) or (
+        cfg.do_refine and (cfg.do_region_vote or cfg.do_rv_whole_image))
+
+    def raw_volume(l, r):
+        gl, gr = to_gray(l), to_gray(r)
+        arms = arms_ops.build_arms(l, cfg) if need_arms else None
+        vol = cost_ops.compute_cost_volume(l, r, gl, gr, cfg, 0, arms=arms)
+        return vol, (arms if arms is not None else jnp.zeros((), jnp.int8))
+
+    vols, arms0 = jax.vmap(raw_volume)(lefts, rights)
+    avols = nl_ops.nl_aggregate_batch(vols, lefts, cfg.nl_sigma)
+
+    def tail(vol, l, r, arms):
+        dl, dr, vol0 = optimize({0: vol}, l, r, cfg)
+        if cfg.do_refine:
+            d = refine(dl, dr, vol0, l,
+                       arms if need_arms else None, cfg)
+        else:
+            d = dl
+        return d.astype(jnp.float32), dl
+
+    d, dl = jax.vmap(tail)(avols, lefts, rights, arms0)
+    return {"disparity": d, "disp_left_raw": dl}
+
+
 class StereoPipeline:
     """Jitted pipeline wrapper; one compiled executable per (config, shape).
 

@@ -40,6 +40,11 @@ CONFIGS = [
     ("census_cbca_lrc", {}, 375, 450, 63, "teddy/cones-scale D=64"),
     ("sgm8_full", {}, 750, 1000, 127, "middlebury half-res D=128"),
     ("nl_tree_filter", {}, 375, 450, 59, "teddy-scale D=60"),
+    # batch-4 stacked-forest variant measured 81.2 MP*disp/s — neutral vs
+    # single-frame (row-latency-bound costs scale with batch; only the
+    # ~25ms dispatch amortizes, eaten by log-factor sort/ranking growth).
+    # The API (pipeline.match_pair_nl_batch) stays: bit-identical per
+    # frame, useful for suite runs. Re-add {"batch": 4} here to re-measure.
     ("nl_tree_filter", {"nl_tree_host": True}, 375, 450, 59,
      "teddy-scale D=60, host-C++ Kruskal hybrid (nl_tree_host=1)"),
     ("fullres_occfill", {}, 1000, 1400, 191, "2014 large-scale D=192"),
@@ -60,12 +65,30 @@ ITERS = 3
 
 
 def run_one(name, kw, h, w, max_disp, note):
-    pair = make_synthetic_pair(h=h, w=w, max_disp=max_disp, seed=0)
-    cfg = models.get_model(name, max_disp=max_disp, **kw)
-    pipe = StereoPipeline(cfg)          # handles host-tree hybrid configs
-    fn = lambda l, r: pipe(l, r)["disparity"]
-    left = jnp.asarray(pair.left, jnp.float32)
-    right = jnp.asarray(pair.right, jnp.float32)
+    kw = dict(kw)
+    batch = kw.pop("batch", None)
+    if batch:
+        import functools
+
+        from mystereomatching_tpu.pipeline import match_pair_nl_batch
+
+        pairs = [make_synthetic_pair(h=h, w=w, max_disp=max_disp, seed=s)
+                 for s in range(batch)]
+        pair = pairs[0]
+        cfg = models.get_model(name, max_disp=max_disp, **kw)
+        bf = jax.jit(functools.partial(match_pair_nl_batch, cfg=cfg))
+        left = jnp.asarray(np.stack([p.left for p in pairs]), jnp.float32)
+        right = jnp.asarray(np.stack([p.right for p in pairs]), jnp.float32)
+        fn = lambda l, r: bf(l, r)["disparity"][0]
+        scale = batch
+    else:
+        pair = make_synthetic_pair(h=h, w=w, max_disp=max_disp, seed=0)
+        cfg = models.get_model(name, max_disp=max_disp, **kw)
+        pipe = StereoPipeline(cfg)      # handles host-tree hybrid configs
+        fn = lambda l, r: pipe(l, r)["disparity"]
+        left = jnp.asarray(pair.left, jnp.float32)
+        right = jnp.asarray(pair.right, jnp.float32)
+        scale = 1
 
     t0 = time.perf_counter()
     out = fn(left, right)
@@ -77,7 +100,7 @@ def run_one(name, kw, h, w, max_disp, note):
     for _i in range(ITERS):
         out = fn(left, right)
         _ = float(jnp.sum(out))
-    dt = (time.perf_counter() - t0) / ITERS
+    dt = (time.perf_counter() - t0) / ITERS / scale   # per frame
 
     d = np.asarray(out, np.float32)
     bad, _rms = bad_pixel_stats(jnp.asarray(d), jnp.asarray(pair.gt), jnp.asarray(pair.masks["nonocc"]), thresh=1.0)
