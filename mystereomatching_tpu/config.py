@@ -129,6 +129,17 @@ class MatchConfig:
     cbca_c_threshes: tuple = (20, 30, 30)  # cbca_cTresh list
     cbca_ml_neigh_thresh: int = 20     # vector overload's hard-coded
                                        # neighbor threshold (cpp:3209)
+    cbca_double_win: bool = False      # cbca_double_win (h:144, h:275):
+                                       # run CBCA at two arm scales and
+                                       # merge (CBCA() cpp:4337-4357)
+    cbca_combine: int = 4              # which combine2Vm variant merges
+                                       # the two windows: 1 PKR mask
+                                       # (cpp:4142), 2 arm-limit (cpp:4170),
+                                       # 3 min-cost (cpp:4217), 4 smoothed
+                                       # max-arm mask (cpp:4273, the
+                                       # reference's active choice cpp:4354)
+    cbca_cross_l_outs: tuple = (34, 23, 34)   # cbca_crossL_out (h:266-268)
+    cbca_c_thresh_outs: tuple = (6, 0, 0)     # cbca_cTresh_out (h:272-274)
 
     # --- box / guided filter ------------------------------------------------
     bf_radius: int = 6                 # BF 12x12 boxFilter (cpp:1030) -> radius 6
@@ -160,8 +171,15 @@ class MatchConfig:
     jbf_sigma_s: float = 9.0           # joint bilateral spatial sigma
 
     # --- SGM (h:236-241) ----------------------------------------------------
-    sgm_p1: float = 1.0                # hard-coded in updateCost (h:2240)
-    sgm_p2: float = 3.0                # hard-coded in updateCost (h:2241)
+    # P1/P2 default to None = "resolve per aggregation" exactly as the
+    # reference constructor does (cpp:2088-2108): CBCA/GF -> 1.0/3.0,
+    # AWS -> 0.5/1.0 (substring match, so GFNL hits the GF rule), anything
+    # else 1.0/3.0 (the effective kernel values). Reference quirk: those
+    # constructor stores are DEAD in the reference binary — updateCost
+    # (h:2233-2235) hard-codes P1=1.0/P2=3.0 locally — so a user wanting
+    # binary-exact AWS+SGM passes sgm_p1=1.0, sgm_p2=3.0 explicitly.
+    sgm_p1: float = None               # None -> sgm_p1_eff resolves it
+    sgm_p2: float = None
     sgm_scan_num: int = 4              # numOfDirec (cpp:6214)
     sgm_cor_dif_thres: int = 15        # sgm_corDifThres
     sgm_redu_coeff: float = 4.0        # sgm_reduCoeffi1
@@ -266,6 +284,31 @@ class MatchConfig:
         return "\n".join(lines)
 
     @property
+    def sgm_p1_eff(self) -> float:
+        """Effective SGM P1: explicit value, else the reference
+        constructor's per-aggregation resolution (cpp:2088-2108)."""
+        if self.sgm_p1 is not None:
+            return self.sgm_p1
+        return 0.5 if "aws" in self.aggregation else 1.0
+
+    @property
+    def sgm_p2_eff(self) -> float:
+        if self.sgm_p2 is not None:
+            return self.sgm_p2
+        return 1.0 if "aws" in self.aggregation else 3.0
+
+    def window1(self) -> "MatchConfig":
+        """The large-window arm parameters for double-window CBCA: the
+        reference's first calArms call in CBCA() (cpp:4341) with index-1
+        params (crossL[1]=23, crossL_out[1]=23, cTresh[1]=30,
+        cTresh_out[1]=0)."""
+        return self.replace(
+            cbca_cross_l=int(self.cbca_cross_ls[1]),
+            cbca_cross_l_out=int(self.cbca_cross_l_outs[1]),
+            cbca_c_thresh=int(self.cbca_c_threshes[1]),
+            cbca_c_thresh_out=int(self.cbca_c_thresh_outs[1]))
+
+    @property
     def arm_l_out(self) -> int:
         """Longest possible arm under the active cbca_arm_mode — the tap
         bound every arm-bounded kernel must honor."""
@@ -297,6 +340,10 @@ class MatchConfig:
         if self.cbca_arm_mode not in ("two_level", "multilevel", "adaptive"):
             raise ValueError(
                 f"unknown cbca_arm_mode {self.cbca_arm_mode!r}")
+        if self.cbca_combine not in (1, 2, 3, 4):
+            raise ValueError(
+                f"cbca_combine must be 1..4 (combine2Vm variants), "
+                f"got {self.cbca_combine}")
         return self
 
 

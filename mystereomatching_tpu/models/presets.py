@@ -115,6 +115,17 @@ def _baseline5(max_disp: int = 255, **kw) -> MatchConfig:
     return MatchConfig(max_disp=max_disp, **base).validate()
 
 
+@register("cbca_double")
+def _cbca_double(max_disp: int = 59, **kw) -> MatchConfig:
+    """Double-window CBCA (cbca_double_win, CBCA() cpp:4337-4357): CBCA at
+    arm scales 0 and 1, merged by the smoothed max-arm mask combine2Vm_4
+    (cpp:4273-4331, the active merge at cpp:4354)."""
+    base = dict(cost="census_grad", aggregation="cbca", optimization="sgm",
+                cbca_double_win=True, cbca_combine=4, do_refine=True)
+    base.update(kw)
+    return MatchConfig(max_disp=max_disp, **base).validate()
+
+
 @register("bt_so")
 def _bt_so(max_disp: int = 59, **kw) -> MatchConfig:
     base = dict(cost="bt", aggregation="cbca", optimization="so",

@@ -61,9 +61,41 @@ def combine2vm_arm_limit(vm: jnp.ndarray, vm2: jnp.ndarray, arms: jnp.ndarray,
     return jnp.where(small, vm * w + vm2 * (1.0 - w), vm)
 
 
-def combine2vm_min(vm: jnp.ndarray, vm2: jnp.ndarray) -> jnp.ndarray:
-    """combine2Vm_3 (cpp:4231-4278): per-entry min-cost selection."""
-    return jnp.minimum(vm, vm2)
+def combine2vm_min(vm: jnp.ndarray, vm2: jnp.ndarray,
+                   dis_thres: float = 0.0, w: float = 0.3) -> jnp.ndarray:
+    """combine2Vm_3 (cpp:4217-4271): per-PIXEL min-cost test, not an
+    elementwise min. Where min_d vm2 < min_d vm and the relative
+    improvement (min_vm - min_vm2)/min_vm exceeds disThres (=0), blend
+    the whole D-vector 0.3*vm + 0.7*vm2 (cpp:4261); else keep vm.
+    The C++ float division yields +inf when min_vm == 0, so a strict
+    improvement always triggers the blend there too."""
+    c0 = jnp.min(vm, axis=0)
+    c1 = jnp.min(vm2, axis=0)
+    take = (c1 < c0) & ((c0 - c1) / c0 > dis_thres)
+    return jnp.where(take[None], w * vm + (1.0 - w) * vm2, vm)
+
+
+def combine2vm_4(vm: jnp.ndarray, vm2: jnp.ndarray,
+                 arms_left: jnp.ndarray,
+                 arm_thres: float = 5.0) -> jnp.ndarray:
+    """combine2Vm_4 (cpp:4273-4331), the active double-window merge
+    (cpp:4354): per pixel take the LONGEST of the LEFT image's four
+    small-window arms (HVL[0] — the second calArms call in CBCA()
+    overwrote HVL with the window-0 arms before this runs), smooth the
+    max-arm map with a normalized 3x3 boxFilter (BORDER_REFLECT_101),
+    and wherever the smoothed value < 5 replace the D-vector entirely
+    with vm2 (the active line is ``vm*0 + vm2*1``, cpp:4322 — the 0.3/0.7
+    blend above it is commented out). The same left-derived mask is
+    applied to BOTH images' volumes (the n-loop reuses arm_Lst).
+
+    arms_left: [>=4, H, W] non-intersected arm lengths of the LEFT image
+    at the small window."""
+    arm_lst = jnp.max(arms_left[:4], axis=0).astype(vm.dtype)
+    p = jnp.pad(arm_lst, 1, mode="reflect")      # == cv BORDER_REFLECT_101
+    sm = sum(p[i:i + arm_lst.shape[0], j:j + arm_lst.shape[1]]
+             for i in range(3) for j in range(3)) / 9.0
+    take = sm < arm_thres
+    return jnp.where(take[None], vm2, vm)
 
 
 def combine_cross_fw(
@@ -75,22 +107,28 @@ def combine_cross_fw(
     arm_l_sum: int = 8,
     arm_l_single: int = 6,
     cost_compare: bool = True,
+    area_is=None,
 ) -> jnp.ndarray:
     """Fixed-window fallback for tiny supports (combine_Cross_FW
     cpp:5803-5862). arms_int: [4,D,H,W] intersected arms.
 
-    type 1: arm sum < arm_len_limit -> take FW;
-    type 3: support area proxy (arm sum) < 5 -> take FW;
+    type 1: per-disparity intersected arm sum (slot 4, cpp:5826) <
+    arm_len_limit -> take FW;
+    type 3: aggregated intersected support AREA (areaIS, cpp:5832) < 5 ->
+    take FW (pass ``area_is`` [D,H,W]);
     type 4 (default, cobineCrossFWType=4 h:291): arm sum < arm_l_sum AND
     both per-axis sums < arm_l_single -> min(cross, FW) when
-    cost_compare else FW.
+    cost_compare (cpp:5847) else FW.
     """
     arm_sum = jnp.sum(arms_int[:4], axis=0)
     if fw_type == 1:
         take = arm_sum < arm_len_limit
         return jnp.where(take, vm_fw, vm_cross)
     if fw_type == 3:
-        take = arm_sum < 5
+        if area_is is None:
+            raise ValueError("combine_Cross_FW type 3 needs area_is "
+                             "(the aggregated intersected support area)")
+        take = area_is < 5
         return jnp.where(take, vm_fw, vm_cross)
     if fw_type == 4:
         arm_h = arms_int[0] + arms_int[1]

@@ -79,20 +79,27 @@ def lr_consistency_classify(d_left: jnp.ndarray, d_right: jnp.ndarray,
 
 def pkr_mask(vol: jnp.ndarray, thresh: float = 0.1) -> jnp.ndarray:
     """True where the peak ratio (c2-c1)/c2 between the two smallest costs
-    (excluding d+-1 neighbors of the best) is below thresh — ambiguous."""
+    is below thresh — ambiguous (calPKR, cpp:4087-4126).
+
+    c2 is the plain second-smallest: the reference masks ONLY the first
+    occurrence of the minimum (vmP[disp]=max, cpp:4115) before re-scanning,
+    so duplicated minima give c2 == c1 -> ratio 0 -> ambiguous. The C++
+    division has no epsilon: c1 == c2 == 0 gives nan, and nan < thresh is
+    false — reproduced by dividing plainly."""
     d_, h, w = vol.shape
-    best = jnp.argmin(vol, 0)
+    best = jnp.argmin(vol, 0)                   # first occurrence, like <
     c1 = jnp.min(vol, 0)
     ds = jnp.arange(d_, dtype=jnp.int32)[:, None, None]
-    near = jnp.abs(ds - best[None]) <= 1
-    c2 = jnp.min(jnp.where(near, jnp.inf, vol), 0)
-    ratio = (c2 - c1) / jnp.maximum(c2, 1e-12)
+    c2 = jnp.min(jnp.where(ds == best[None], jnp.inf, vol), 0)
+    ratio = (c2 - c1) / c2
     return ratio < thresh
 
 
 def apply_pkr(disp: jnp.ndarray, vol: jnp.ndarray, thresh: float = 0.1,
               disp_pkr: int = -64) -> jnp.ndarray:
-    return jnp.where(pkr_mask(vol, thresh), disp_pkr, disp)
+    """signDp_UsingPKR (cpp:4128-4140): stamp DISP_PKR on ambiguous pixels,
+    but only where the map still holds a VALID (>= 0) disparity."""
+    return jnp.where(pkr_mask(vol, thresh) & (disp >= 0), disp_pkr, disp)
 
 
 # ---------------------------------------------------------------------------

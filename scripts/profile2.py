@@ -62,7 +62,7 @@ f, x = chain(cbca_stage, vol)
 print(f"cbca(x1)  {bench(f, x)*1e3:8.2f} ms")
 
 def sgm_stage(v):
-    return sgm_ops.sgm(v, left, cfg.sgm_scan_num, cfg.sgm_p1, cfg.sgm_p2,
+    return sgm_ops.sgm(v, left, cfg.sgm_scan_num, cfg.sgm_p1_eff, cfg.sgm_p2_eff,
                        cfg.sgm_cor_dif_thres, cfg.sgm_redu_coeff) * 1e-2
 f, x = chain(sgm_stage, vol)
 print(f"sgm(x1)   {bench(f, x)*1e3:8.2f} ms")
@@ -70,7 +70,7 @@ print(f"sgm(x1)   {bench(f, x)*1e3:8.2f} ms")
 def sgm2_stage(v2):
     import functools
     run = functools.partial(sgm_ops.sgm, num_directions=cfg.sgm_scan_num,
-                            p1=cfg.sgm_p1, p2=cfg.sgm_p2,
+                            p1=cfg.sgm_p1_eff, p2=cfg.sgm_p2_eff,
                             cor_dif_thres=cfg.sgm_cor_dif_thres,
                             redu_coeff=cfg.sgm_redu_coeff)
     return jax.vmap(run)(v2, jnp.stack([left, right])) * 1e-2

@@ -74,7 +74,7 @@ def main():
     vols_a = agg_fn(vols, arms_pair)
 
     sgm_fn = jax.jit(lambda vs, l, r: tuple(
-        sgm_ops.sgm(vs[lor], img, cfg.sgm_scan_num, cfg.sgm_p1, cfg.sgm_p2,
+        sgm_ops.sgm(vs[lor], img, cfg.sgm_scan_num, cfg.sgm_p1_eff, cfg.sgm_p2_eff,
                     cfg.sgm_cor_dif_thres, cfg.sgm_redu_coeff)
         for lor, img in ((0, l), (1, r))))
     t_sgm = timeit(sgm_fn, vols_a, left, right)
