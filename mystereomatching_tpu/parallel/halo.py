@@ -36,6 +36,9 @@ def exchange_rows(x: jnp.ndarray, halo: int, axis_name: str = "row",
     """
     if halo == 0:
         return x
+    from mystereomatching_tpu.parallel.counters import note_halo
+
+    note_halo(x, halo, row_axis)
     idx = lax.axis_index(axis_name)
     n = lax.axis_size(axis_name)
 

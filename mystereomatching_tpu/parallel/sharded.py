@@ -46,13 +46,17 @@ def _cost_halo(cfg: MatchConfig) -> int:
     if "census" in cfg.cost:
         h = max(h, cfg.census_rv + 1)
     if cfg.cost in ("grad", "census_grad", "ad_grad", "ad_census_grad"):
-        h = max(h, cfg.cbca_cross_l_out + 1)    # adaptive weight needs arms
+        h = max(h, cfg.arm_l_out + 1)           # adaptive weight needs arms
     if cfg.aggregation == "cbca":
         # each iteration's V pass reaches l_out; arms reach l_out beyond that
-        h = max(h, cfg.cbca_iterations * cfg.cbca_cross_l_out
-                + cfg.cbca_cross_l_out + cfg.census_rv + 1)
+        h = max(h, cfg.cbca_iterations * cfg.arm_l_out
+                + cfg.arm_l_out + cfg.census_rv + 1)
     if cfg.aggregation == "bf":
         h = max(h, cfg.bf_radius + 1)
+    if cfg.do_refine and (cfg.do_region_vote or cfg.do_rv_whole_image):
+        # region vote keeps an arm_l_out halo on the cropped arms, and the
+        # arms INSIDE that halo need their own arm_l_out of support rows
+        h = max(h, 2 * cfg.arm_l_out + 1)
     return h
 
 
@@ -105,6 +109,9 @@ def _wavefront_scan(voln, psn, order_idx, perm, p1, p2, n_chunks: int,
         return out, state
 
     n_dev = lax.axis_size(p_axis)
+    from mystereomatching_tpu.parallel.counters import note_wavefront
+
+    note_wavefront(n_chunks + n_dev - 1, state.shape, state.dtype)
     out, _ = lax.fori_loop(0, n_chunks + n_dev - 1, step, (out, state))
     return out[:, :, :w]
 
@@ -198,7 +205,7 @@ def _sgm_sharded(vol, image, cfg: MatchConfig, n_chunks: int):
     """SGM on a row band: horizontal scans local, vertical (and, for the
     8-direction configs, diagonal) scans wavefront-pipelined across bands.
     Reference direction set: cpp:6206-6214."""
-    p1, p2 = cfg.sgm_p1, cfg.sgm_p2
+    p1, p2 = cfg.sgm_p1_eff, cfg.sgm_p2_eff
     thres, coeff = cfg.sgm_cor_dif_thres, cfg.sgm_redu_coeff
 
     out = jnp.zeros_like(vol)
@@ -279,7 +286,7 @@ def _match_pair_band(left, right, cfg: MatchConfig, n_chunks: int,
     need_arms = cfg.aggregation == "cbca" or (
         cfg.cost in ("grad", "census_grad", "ad_grad", "ad_census_grad")
         and cfg.grad_use_2dir and cfg.grad_fuse_adaptive) or (
-        cfg.do_refine and cfg.do_region_vote)
+        cfg.do_refine and (cfg.do_region_vote or cfg.do_rv_whole_image))
     arms_pair = (None, None)
     if need_arms:
         arms_pair = tuple(
@@ -316,6 +323,10 @@ def _match_pair_band(left, right, cfg: MatchConfig, n_chunks: int,
             elif cfg.aggregation != "none":
                 raise NotImplementedError(
                     f"D-sharded aggregation {cfg.aggregation!r} unsupported")
+            from mystereomatching_tpu.parallel.counters import (
+                note_all_gather)
+
+            note_all_gather(blk, nd_dev, stage="d_shard_volume")
             vol = lax.all_gather(blk, "disp", axis=0, tiled=True)
         else:
             vol = cost_ops.compute_cost_volume(left_ext, right_ext, gl, gr,
@@ -340,27 +351,51 @@ def _match_pair_band(left, right, cfg: MatchConfig, n_chunks: int,
                     f"sharded aggregation {cfg.aggregation!r} not supported")
         vols[lor] = crop_rows(vol, halo, row_axis=1)
 
-    # --- optimization ---
+    # --- optimization (mirrors pipeline.optimize) ---
     images = {0: left, 1: right}
     if cfg.optimization == "sgm":
         for lor in vols:
             vols[lor] = _sgm_sharded(vols[lor], images[lor], cfg, n_chunks)
-    elif cfg.optimization != "wta":
-        raise NotImplementedError(
-            f"sharded optimization {cfg.optimization!r} not yet supported")
-    dl = wta_ops.wta(vols[0], cfg.choose_small)
-    dr = wta_ops.wta(vols[1], cfg.choose_small) if 1 in vols else None
+    if 1 in vols:
+        dl = wta_ops.wta(vols[0], cfg.choose_small)
+        dr = wta_ops.wta(vols[1], cfg.choose_small)
+    elif cfg.do_refine and cfg.do_lr_consis:
+        # cooperative WTA from the left volume (wta_Co): row-local, exact
+        dl, dr = wta_ops.wta_pair_cooperative(vols[0], cfg.choose_small)
+    else:
+        dl = wta_ops.wta(vols[0], cfg.choose_small)
+        dr = None
+    if cfg.uniq_check:
+        # UniqCk (wta_Co cpp:2763-2775): pointwise over the band's volume
+        bad = wta_ops.uniqueness_mask(vols[0], dl, cfg.uniqueness_ratio)
+        dl = jnp.where(bad, cfg.disp_inv, dl)
 
     if not cfg.do_refine:
-        return dl.astype(jnp.float32)
+        from mystereomatching_tpu.pipeline import apply_sub_ipol
 
-    # --- refinement (halo per stage) ---
+        return apply_sub_ipol(dl, dl, vols[0], cfg).astype(jnp.float32)
+
+    # --- refinement (mirrors pipeline.refine stage order, halo per stage) ---
     d = dl
-    if cfg.do_lr_consis and dr is not None:
-        d = refine_ops.lr_consistency(d, dr, cfg.lr_max_diff)     # row-local
+    if cfg.do_fill_surrounding:
+        d = _fill_surrounding_band(d, cfg)
+        if dr is not None:
+            dr = _fill_surrounding_band(dr, cfg)
+    if cfg.do_lr_consis and dr is not None:                       # row-local
+        if cfg.lrc_classify:
+            d = refine_ops.lr_consistency_classify(
+                d, dr, cfg.num_disp, cfg.lr_max_diff,
+                cfg.disp_occ, cfg.disp_mis)
+        else:
+            d = refine_ops.lr_consistency(d, dr, cfg.lr_max_diff,
+                                          num_disp=cfg.num_disp)
+    lrc_fail = d < 0
+    if cfg.do_pkr:                                                # pointwise
+        d = refine_ops.apply_pkr(d, vols[0], cfg.pkr_thresh, cfg.disp_pkr)
+    hr = cfg.arm_l_out
+    arms0 = (crop_rows(arms_pair[0], halo - hr, row_axis=1)
+             if arms_pair[0] is not None else None)
     if cfg.do_region_vote:
-        hr = cfg.cbca_cross_l_out
-        arms0 = tuple(crop_rows(a, halo - hr, row_axis=1) for a in (arms_pair[0],))[0]
         for _ in range(cfg.region_vote_iters):
             d_ext = exchange_rows(d, hr, row_axis=0, pad_mode=-1)
             d_ext = refine_ops.region_vote(d_ext, arms0, cfg.num_disp,
@@ -378,13 +413,123 @@ def _match_pair_band(left, right, cfg: MatchConfig, n_chunks: int,
                                                     cfg.disp_occ)
             d = crop_rows(d_ext, hp, row_axis=0)
     if cfg.do_bg_ipol:
-        d = refine_ops.bg_interpolation(d)                        # row-local
+        d = refine_ops.bg_interpolation(d, cfg.num_disp)          # row-local
+    if cfg.do_wm:
+        # weighted median: fixed wm_win halo; the dense kernel's _shift2d
+        # border fills (-1 disp / 1e4 color / False mask) are reproduced at
+        # the TRUE image borders by the exchange pad modes
+        hw = cfg.wm_win
+        d_ext = exchange_rows(d, hw, row_axis=0, pad_mode=-1)
+        li_ext = exchange_rows(left, hw, row_axis=0, pad_mode=1e4)
+        m_ext = exchange_rows(lrc_fail, hw, row_axis=0, pad_mode="zero")
+        d = crop_rows(
+            refine_ops.weighted_median(d_ext, li_ext, m_ext, cfg.num_disp,
+                                       cfg.wm_win, cfg.wm_sigma_c,
+                                       cfg.wm_sigma_s), hw, row_axis=0)
+    if cfg.do_da:
+        d = _da_band(d, vols[0], cfg)
+    if cfg.do_subpixel:
+        sub = refine_ops.subpixel_enhance(d, vols[0])             # pointwise
+        hm = cfg.median_kernel // 2
+        sub_ext = exchange_rows(sub, hm, row_axis=0, pad_mode="edge")
+        return crop_rows(refine_ops.median_blur_disp(sub_ext,
+                                                     cfg.median_kernel),
+                         hm, row_axis=0).astype(jnp.float32)
     if cfg.do_last_median:
         hm = cfg.median_kernel // 2
         d_ext = exchange_rows(d, hm, row_axis=0, pad_mode="edge")
         d = crop_rows(refine_ops.median_blur_disp(d_ext, cfg.median_kernel),
                       hm, row_axis=0)
-    return d.astype(jnp.float32)
+    if cfg.do_rv_whole_image:
+        d_ext = exchange_rows(d, hr, row_axis=0, pad_mode=-1)
+        d = crop_rows(refine_ops.region_vote_whole_image(
+            d_ext, arms0, cfg.num_disp, max_arm=cfg.arm_l_out),
+            hr, row_axis=0)
+    from mystereomatching_tpu.pipeline import apply_sub_ipol
+
+    return apply_sub_ipol(d, dl, vols[0], cfg).astype(jnp.float32)
+
+
+def _fill_surrounding_band(d: jnp.ndarray, cfg: MatchConfig,
+                           axis_name: str = "row") -> jnp.ndarray:
+    """fillSurronding (cpp:2214-2260) on a row band: column bands are
+    local; the W_V-row top/bottom bands go by GLOBAL row index."""
+    h, w = d.shape
+    g0 = lax.axis_index(axis_name) * h
+    hg = lax.axis_size(axis_name) * h
+    v = g0 + jnp.arange(h, dtype=jnp.int32)[:, None]
+    u = jnp.arange(w, dtype=jnp.int32)[None, :]
+    border = (v < cfg.census_rv) | (v >= hg - cfg.census_rv) \
+        | (u < cfg.census_ru) | (u >= w - cfg.census_ru)
+    return jnp.where(border, jnp.asarray(cfg.disp_inv, d.dtype), d)
+
+
+def _da_band(d: jnp.ndarray, vol: jnp.ndarray, cfg: MatchConfig,
+             axis_name: str = "row") -> jnp.ndarray:
+    """Discontinuity adjustment on a row band, bit-exact vs dense.
+
+    The edge map's recipe is global — equalizeHist needs the full-image
+    histogram and the hysteresis dilation chains are unbounded — but it is
+    only [H, W] u8, a negligible all_gather next to the volume traffic. The
+    full-map Canny runs replicated per band (cheap), the band slices its
+    rows (+1 halo), and the ±1-neighbor adjustment runs on 1-row-extended
+    disp/vol; the dense kernel's border-row exclusion is restored by
+    global-row masking."""
+    from mystereomatching_tpu.ops.canny import canny_edges
+
+    h, w = d.shape
+    idx = lax.axis_index(axis_name)
+    n = lax.axis_size(axis_name)
+    hg = n * h
+    from mystereomatching_tpu.parallel.counters import note_all_gather
+
+    note_all_gather(d, n, stage="da_edges")
+    d_full = lax.all_gather(d, axis_name, axis=0, tiled=True)     # [Hg, W]
+    d8 = jnp.clip(d_full, 0, 255).astype(jnp.uint8)
+    edges_full = canny_edges(d8, low=20.0, high=60.0, equalize=True,
+                             blur_sigma=4.0)
+    ep = jnp.pad(edges_full, ((1, 1), (0, 0)))
+    e_ext = lax.dynamic_slice(ep, (idx * h, 0), (h + 2, w))
+
+    d_ext = exchange_rows(d, 1, row_axis=0, pad_mode=-1)
+    v_ext = exchange_rows(vol, 1, row_axis=1, pad_mode="edge")
+    out = refine_ops.discontinuity_adjust(d_ext, v_ext, edges=e_ext)
+    out = crop_rows(out, 1, row_axis=0)
+    # dense 'inner' mask: true top/bottom image rows stay untouched
+    g = idx * h + jnp.arange(h, dtype=jnp.int32)[:, None]
+    return jnp.where((g == 0) | (g == hg - 1), d, out)
+
+
+def check_sharded_support(cfg: MatchConfig) -> None:
+    """Loud guard: every MatchConfig flag either runs with the SAME
+    meaning as the dense path (bit-exact, tests/test_sharding.py) or
+    raises here — no silent drops. The unsupported set is the genuinely
+    global/irregular tail."""
+    if cfg.optimization not in ("sgm", "wta"):
+        raise NotImplementedError(
+            f"sharded optimization {cfg.optimization!r}: SO's per-row "
+            "backtracking DP is row-local but unported; use the dense path")
+    if cfg.aggregation not in ("cbca", "bf", "none"):
+        raise NotImplementedError(
+            f"sharded aggregation {cfg.aggregation!r} not supported "
+            "(NL has its own sharded path: parallel/nl_sharded.py)")
+    for flag, why in (
+            ("do_cbbi", "flood-fill segmentation is image-global"),
+            ("do_vmtop", "top-K candidate voting unported"),
+            ("rv_use_combine_bg", "RV+BG combined policies unported"),
+            ("bg_ipol_kitti", "column extrapolation crosses row bands"),
+            ("nl_post_process", "use parallel/nl_sharded.py"),
+            ("cbca_double_win", "double-window merge unported"),
+            ("d_stream_block", "use a 'disp' mesh axis instead"),
+    ):
+        if getattr(cfg, flag):
+            raise NotImplementedError(f"sharded pipeline: {flag} ({why})")
+    if cfg.reg_vote_type != 0:
+        raise NotImplementedError(
+            "sharded pipeline: reg_vote_type != 0 (tilted-arm vote unported)")
+    if cfg.pyramid_levels > 1:
+        raise NotImplementedError(
+            "sharded pipeline: cross-scale pyramid unported")
 
 
 def sharded_match_pair(
@@ -401,6 +546,7 @@ def sharded_match_pair(
     (inputs replicated over 'disp', the aggregated volume all_gathered
     back). Returns [B, H, W] disparity.
     """
+    check_sharded_support(cfg)
     d_shard = "disp" in mesh.axis_names
     if d_shard:
         n_dd = mesh.shape["disp"]

@@ -63,6 +63,15 @@ def compute_volumes(left, right, cfg: MatchConfig, host_trees=None):
     if need_arms:
         arms_pair = tuple(arms_ops.build_arms(img, cfg)
                           for img in (left, right))
+    arms2_pair = (None, None)
+    if cfg.aggregation == "cbca" and cfg.cbca_double_win:
+        # double-window CBCA (CBCA() cpp:4337-4357): a second arm build at
+        # the index-1 (large-window) parameters feeds a parallel CBCA pass
+        if cfg.d_stream_block:
+            raise NotImplementedError(
+                "cbca_double_win has no D-streaming form")
+        arms2_pair = tuple(arms_ops.build_arms(img, cfg.window1())
+                           for img in (left, right))
 
     vols = {}
     for lor in range(n_imgs):
@@ -78,10 +87,35 @@ def compute_volumes(left, right, cfg: MatchConfig, host_trees=None):
             # on near-ties (~0.4% relative cost error)
             vol = vol.astype(jnp.dtype(cfg.vol_dtype))
         if cfg.aggregation == "cbca":
+            vol2 = None
+            if cfg.cbca_double_win:
+                # large-window pass first on a copy of the raw volume
+                # (cpp:4339-4343), then the small-window pass on vol
+                arms2_int = arms_ops.intersect_arms(
+                    arms2_pair[0], arms2_pair[1], cfg.num_disp, lor)
+                vol2 = agg_ops.cbca(vol, arms2_int, cfg.cbca_iterations,
+                                    max_arm=cfg.window1().arm_l_out)
             arms_int = arms_ops.intersect_arms(arms_pair[0], arms_pair[1],
                                                cfg.num_disp, lor)
             vol = agg_ops.cbca(vol, arms_int, cfg.cbca_iterations,
                                max_arm=cfg.arm_l_out)
+            if vol2 is not None:
+                from mystereomatching_tpu.ops import combine as combine_ops
+
+                if cfg.cbca_combine == 1:
+                    vol = combine_ops.combine2vm_pkr(vol, vol2)
+                elif cfg.cbca_combine == 2:
+                    vol = combine_ops.combine2vm_arm_limit(
+                        vol, vol2, arms_pair[lor])
+                elif cfg.cbca_combine == 3:
+                    vol = combine_ops.combine2vm_min(vol, vol2)
+                elif cfg.cbca_combine == 4:
+                    # combine2Vm_4 derives its mask from the LEFT image's
+                    # small-window arms for both volumes (cpp:4288-4296)
+                    vol = combine_ops.combine2vm_4(vol, vol2, arms_pair[0])
+                else:
+                    raise ValueError(
+                        f"unknown cbca_combine {cfg.cbca_combine}")
         else:
             img, g = (left, gl) if lor == 0 else (right, gr)
             oth = right if lor == 0 else left
@@ -138,8 +172,8 @@ def optimize(vols, left, right, cfg: MatchConfig):
     images = {0: left, 1: right}
     if cfg.optimization == "sgm":
         run = functools.partial(
-            sgm_ops.sgm, num_directions=cfg.sgm_scan_num, p1=cfg.sgm_p1,
-            p2=cfg.sgm_p2, cor_dif_thres=cfg.sgm_cor_dif_thres,
+            sgm_ops.sgm, num_directions=cfg.sgm_scan_num, p1=cfg.sgm_p1_eff,
+            p2=cfg.sgm_p2_eff, cor_dif_thres=cfg.sgm_cor_dif_thres,
             redu_coeff=cfg.sgm_redu_coeff)
         if len(vols) == 2:
             # batch the left/right volumes into the same vmapped scans:
@@ -177,6 +211,12 @@ def optimize(vols, left, right, cfg: MatchConfig):
     else:
         dl = wta_ops.wta(vols[0], cfg.choose_small)
         dr = None
+    if cfg.uniq_check:
+        # UniqCk (wta_Co cpp:2763-2775 / caldisp_SSD h:524-538): the WTA
+        # disparity is invalidated (DISP_INV) when any non-neighbor d beats
+        # cost*uniquenessRatio; invalid pixels are filled by refinement
+        bad = wta_ops.uniqueness_mask(vols[0], dl, cfg.uniqueness_ratio)
+        dl = jnp.where(bad, cfg.disp_inv, dl)
     return dl, dr, vols[0]
 
 
@@ -301,8 +341,30 @@ def match_pair(left: jnp.ndarray, right: jnp.ndarray, cfg: MatchConfig,
         d = refine(dl, dr, vol0, left, arms_pair[0], cfg)
     else:
         d = dl
+    d = apply_sub_ipol(d, dl, vol0, cfg)
     out["disparity"] = d.astype(jnp.float32)
     return out
+
+
+def apply_sub_ipol(d, dl_raw, vol0, cfg: MatchConfig):
+    """SubIpl (wta_Co cpp:2778-2784 / caldisp_SSD h:540-556): quadratic
+    subpixel at DECISION time, quantized to 1/DISP_SCALE exactly like the
+    reference's short fixed-point map.
+
+    Composition with refinement (the reference never composes them — the
+    flag only lives in the dead wta_Co and the SSD own-WTA flow): pixels
+    the refinement chain changed keep their refined value; pixels still
+    holding the raw WTA disparity get the decision-time subpixel offset.
+    ``do_subpixel`` (subpixelEnhancement, a refit around the FINAL value)
+    supersedes it; SO/vmTop decisions are not plain WTA, so it is a no-op
+    there, matching the reference call graph."""
+    if not cfg.sub_ipol or cfg.do_subpixel or cfg.do_vmtop \
+            or cfg.optimization == "so":
+        return d
+    sub = wta_ops.subpixel_quadratic(vol0, jnp.maximum(dl_raw, 0))
+    subq = jnp.round(sub * cfg.disp_scale) / cfg.disp_scale
+    keep = (d == dl_raw) & (dl_raw >= 0)
+    return jnp.where(keep, subq, d.astype(jnp.float32))
 
 
 def match_pair_nl_batch(lefts: jnp.ndarray, rights: jnp.ndarray,

@@ -100,7 +100,7 @@ def test_sharded_sgm8_exact(pair):
     vol = cost_ops.compute_cost_volume(left, right, gl, gr,
                                        cfg.replace(cost="census"), 0)
 
-    dense = np.asarray(sgm_ops.sgm(vol, left, 8, cfg.sgm_p1, cfg.sgm_p2,
+    dense = np.asarray(sgm_ops.sgm(vol, left, 8, cfg.sgm_p1_eff, cfg.sgm_p2_eff,
                                    cfg.sgm_cor_dif_thres, cfg.sgm_redu_coeff))
 
     mesh = make_mesh(n_row=4, n_data=1)
@@ -141,3 +141,93 @@ def test_dryrun_entrypoints():
     fn, args = g.entry()
     out = fn(*args)
     assert out["disparity"].shape == args[0].shape[:2]
+
+
+def _assert_sharded_matches_dense(pair, cfg, n_row=4, n_chunks=4,
+                                  float_atol=0.0):
+    import jax.numpy as jnp
+    from mystereomatching_tpu.pipeline import match_pair
+    from mystereomatching_tpu.parallel.mesh import make_mesh
+    from mystereomatching_tpu.parallel.sharded import sharded_match_pair
+
+    left = jnp.asarray(pair.left, jnp.float32)
+    right = jnp.asarray(pair.right, jnp.float32)
+    dense = np.asarray(match_pair(left, right, cfg)["disparity"])
+    mesh = make_mesh(n_row=n_row, n_data=1)
+    sharded = np.asarray(sharded_match_pair(left[None], right[None], cfg,
+                                            mesh, n_chunks=n_chunks))[0]
+    if float_atol:
+        np.testing.assert_allclose(sharded, dense, atol=float_atol, rtol=0)
+    else:
+        np.testing.assert_array_equal(sharded, dense)
+
+
+def test_sharded_sgm8_full_preset(pair):
+    """The ACTUAL sgm8_full benchmark preset (8-dir SGM + uniqueness +
+    decision-time subpixel + subpixel enhancement) vs dense — no
+    MatchConfig flag may silently change meaning between paths.
+
+    The float SUBPIXEL map carries a documented ulp-level tolerance: the
+    band pipeline's CBCA prefix sums accumulate from the band origin, not
+    image row 0, so cancellation in the arm-bounded differences lands on
+    different last bits; integer disparities are unaffected (the
+    bit-exact integer suites above), but the quadratic fit's offsets
+    inherit ~1e-6. Same class as any resharded-reduction float drift."""
+    from mystereomatching_tpu import models
+
+    cfg = models.get_model(
+        "sgm8_full", max_disp=7, census_rv=2, census_ru=3,
+        cbca_cross_l=3, cbca_cross_l_out=5, pi_search_depth=4, rv_s_thres=4)
+    _assert_sharded_matches_dense(pair, cfg, float_atol=1e-4)
+    # the underlying integer decisions must still agree exactly
+    cfg_int = cfg.replace(do_subpixel=False, sub_ipol=False)
+    _assert_sharded_matches_dense(pair, cfg_int)
+
+
+def test_sharded_fullres_occfill_preset(pair):
+    """The ACTUAL fullres_occfill preset (classifying LRC + region vote +
+    proper interpolation + BG fill + median) bit-exact vs dense."""
+    from mystereomatching_tpu import models
+
+    cfg = models.get_model(
+        "fullres_occfill", max_disp=7, census_rv=2, census_ru=3,
+        cbca_cross_l=3, cbca_cross_l_out=5, pi_search_depth=4, rv_s_thres=4)
+    _assert_sharded_matches_dense(pair, cfg)
+
+
+def test_sharded_full_refine_flags(pair):
+    """Every remaining sharded-supported refine stage at once: PKR,
+    weighted median, discontinuity adjustment (global-equalized Canny via
+    all_gather), fillSurronding, whole-image region vote — bit-exact."""
+    from mystereomatching_tpu.config import default_config
+
+    cfg = default_config(
+        max_disp=7, census_rv=2, census_ru=3,
+        cbca_cross_l=3, cbca_cross_l_out=5, pi_search_depth=4, rv_s_thres=4,
+        do_pkr=True, do_wm=True, do_da=True, do_fill_surrounding=True,
+        do_rv_whole_image=True, do_bg_ipol=True, wm_win=5)
+    _assert_sharded_matches_dense(pair, cfg)
+
+
+def test_sharded_unsupported_flags_raise(pair):
+    """Unsupported combinations must refuse loudly, never silently drop."""
+    import jax.numpy as jnp
+    from mystereomatching_tpu.config import default_config
+    from mystereomatching_tpu.parallel.mesh import make_mesh
+    from mystereomatching_tpu.parallel.sharded import (
+        check_sharded_support, sharded_match_pair)
+
+    base = default_config(max_disp=7, census_rv=2, census_ru=3,
+                          cbca_cross_l=3, cbca_cross_l_out=5)
+    bad = [base.replace(do_cbbi=True), base.replace(do_vmtop=True),
+           base.replace(optimization="so"), base.replace(aggregation="gf"),
+           base.replace(rv_use_combine_bg=True),
+           base.replace(bg_ipol_kitti=True, do_bg_ipol=True),
+           base.replace(cbca_double_win=True)]
+    for cfg in bad:
+        with pytest.raises(NotImplementedError):
+            check_sharded_support(cfg)
+    mesh = make_mesh(n_row=4, n_data=1)
+    left = jnp.asarray(pair.left, jnp.float32)[None]
+    with pytest.raises(NotImplementedError):
+        sharded_match_pair(left, left, bad[0], mesh)
