@@ -189,6 +189,167 @@ def make_synthetic_pair(
                       max_disp=max_disp, masks=masks)
 
 
+def make_adversarial_pair(
+    h: int = 375,
+    w: int = 450,
+    max_disp: int = 59,
+    seed: int = 0,
+    noise_sigma: float = 0.5,
+    name: str = "adversarial",
+) -> StereoPair:
+    """Adversarial synthetic scene: slanted planes (non-integer GT),
+    low-texture regions, and repeated (periodic) patterns.
+
+    The fronto-parallel generator (:func:`make_synthetic_pair`) produces
+    scenes where cost ties are rare, so bit-identity to the reference
+    binary gates little beyond the happy path. This scene model is built
+    to make ties and ambiguity DENSE — where f32-vs-f64 accumulation and
+    traversal-order divergence actually surface:
+
+      * every surface is a plane d(u,v) = d0 + a(u-u0) + b(v-v0); the
+        right view is rendered by per-row analytic inverse warping with
+        bilinear texture resampling (sub-pixel geometry, so matching costs
+        sit between integer hypotheses);
+      * one rectangle carries horizontally periodic texture with period
+        < max_disp (repeated-pattern ambiguity: multiple disparities give
+        near-identical costs);
+      * one rectangle is nearly textureless (census/grad codes collapse,
+        WTA runs on noise);
+      * the slanted background sweeps a continuous disparity range.
+
+    Visibility is exact: a surface point exists only where it wins the
+    left-view depth composite, and each right pixel sees the max-disparity
+    candidate among analytic solutions; nonocc follows from re-solving at
+    each left pixel's own right-column.
+    """
+    rng = np.random.default_rng(seed)
+    fmax = float(max_disp)
+
+    # --- surfaces: background plane + rectangles (u0,u1,v0,v1,d0,a,b,kind)
+    surfaces = [dict(u0=0.0, u1=float(w), v0=0.0, v1=float(h),
+                     d0=1.0, a=(0.25 * fmax - 1.0) / w, b=0.0,
+                     kind="normal")]
+    kinds = ["slanted", "periodic", "lowtex", "slanted_v", "normal",
+             "periodic"]
+    for kind in kinds:
+        ow = float(rng.integers(w // 6, w // 3))
+        oh = float(rng.integers(h // 6, h // 3))
+        u0 = float(rng.integers(0, int(w - ow)))
+        v0 = float(rng.integers(0, int(h - oh)))
+        d0 = float(rng.uniform(0.45 * fmax, 0.9 * fmax))
+        a = b = 0.0
+        if kind == "slanted":
+            a = float(rng.uniform(-0.12, 0.12))
+        elif kind == "slanted_v":
+            b = float(rng.uniform(-0.12, 0.12))
+        # clamp the plane inside [1, max_disp] over its rectangle
+        lo = d0 + min(0.0, a * ow) + min(0.0, b * oh)
+        hi = d0 + max(0.0, a * ow) + max(0.0, b * oh)
+        if hi > fmax - 0.5:
+            d0 -= hi - (fmax - 0.5)
+        if lo < 1.0:
+            d0 += 1.0 - lo
+        surfaces.append(dict(u0=u0, u1=u0 + ow, v0=v0, v1=v0 + oh,
+                             d0=d0, a=a, b=b, kind=kind))
+
+    # --- per-surface texture layers (float RGB in LEFT coordinates) ----
+    def tex_normal():
+        base = _fractal_noise(rng, h, w, octaves=5)
+        detail = rng.random((h, w)).astype(np.float32)
+        return np.stack([np.clip(base * 140 + _fractal_noise(rng, h, w, 3)
+                                 * 45 + detail * 60
+                                 + rng.random((h, w)) * 15, 0, 255)
+                         for _ in range(3)], -1).astype(np.float32)
+
+    textures = []
+    for s in surfaces:
+        if s["kind"] == "lowtex":
+            # near-uniform: one flat color + sub-quantization ripple
+            c = rng.uniform(90, 160, 3).astype(np.float32)
+            t = np.broadcast_to(c, (h, w, 3)).copy()
+            t += rng.normal(0, 1.2, t.shape).astype(np.float32)
+            textures.append(t)
+        elif s["kind"] == "periodic":
+            period = int(rng.integers(max(6, max_disp // 6),
+                                      max(8, max_disp // 2)))
+            t = tex_normal()
+            tile = t[:, :period]
+            reps = -(-w // period)
+            textures.append(np.tile(tile, (1, reps, 1))[:, :w])
+        else:
+            textures.append(tex_normal())
+
+    def d_of(s, u, v):
+        return s["d0"] + s["a"] * (u - s["u0"]) + s["b"] * (v - s["v0"])
+
+    uu = np.arange(w, dtype=np.float32)[None, :].repeat(h, 0)
+    vv = np.arange(h, dtype=np.float32)[:, None].repeat(w, 1)
+
+    # left composite: per-pixel argmax disparity over covering surfaces
+    depth = np.full((h, w), -np.inf, np.float32)
+    sid = np.zeros((h, w), np.int32)
+    for i, s in enumerate(surfaces):
+        cov = (uu >= s["u0"]) & (uu < s["u1"]) & (vv >= s["v0"]) & (vv < s["v1"])
+        d = d_of(s, uu, vv).astype(np.float32)
+        take = cov & (d > depth)
+        depth = np.where(take, d, depth)
+        sid = np.where(take, i, sid)
+    gt = depth.astype(np.float32)
+    left = np.zeros((h, w, 3), np.float32)
+    for i in range(len(surfaces)):
+        left = np.where((sid == i)[..., None], textures[i], left)
+
+    def solve_visible(xr):
+        """For right columns ``xr`` [h,w_cols]: winning surface id, left-u,
+        and disparity of the scene point seen there (-1/nan if none)."""
+        best_d = np.full(xr.shape, -np.inf, np.float32)
+        best_u = np.zeros(xr.shape, np.float32)
+        best_i = np.full(xr.shape, -1, np.int32)
+        v = np.arange(h, dtype=np.float32)[:, None]
+        for i, s in enumerate(surfaces):
+            ui = (xr + s["d0"] - s["a"] * s["u0"]
+                  + s["b"] * (v - s["v0"])) / (1.0 - s["a"])
+            cov = (ui >= s["u0"]) & (ui < s["u1"]) & (v >= s["v0"]) & (v < s["v1"])
+            di = ui - xr
+            # the point must also WIN the left-view composite at (v, ui)
+            uidx = np.clip(np.round(ui).astype(np.int32), 0, w - 1)
+            vis = sid[np.arange(h)[:, None], uidx] == i
+            ok = cov & vis & (di > best_d)
+            best_d = np.where(ok, di, best_d)
+            best_u = np.where(ok, ui, best_u)
+            best_i = np.where(ok, i, best_i)
+        return best_i, best_u, best_d
+
+    # right view: analytic inverse warp + bilinear texture resample
+    xr_cols = np.arange(w, dtype=np.float32)[None, :].repeat(h, 0)
+    ri, ru, _rd = solve_visible(xr_cols)
+    right = np.zeros((h, w, 3), np.float32)
+    u0i = np.clip(np.floor(ru).astype(np.int32), 0, w - 2)
+    fu = (ru - u0i)[..., None].astype(np.float32)
+    rows = np.arange(h)[:, None]
+    for i in range(len(surfaces)):
+        t = textures[i]
+        samp = t[rows, u0i] * (1 - fu) + t[rows, u0i + 1] * fu
+        right = np.where((ri == i)[..., None], samp, right)
+    # columns seeing no surface (left of the leftmost projection): bg fill
+    hole = ri < 0
+    right = np.where(hole[..., None], textures[0], right)
+
+    # nonocc: re-solve at each left pixel's own right column
+    xr_left = uu - gt
+    oi, ou, od = solve_visible(xr_left)
+    visible = (xr_left >= 0) & (oi == sid) & (np.abs(ou - uu) < 0.5) \
+        & (od <= gt + 1e-3)
+    if noise_sigma > 0:
+        left = left + rng.normal(0, noise_sigma, left.shape)
+        right = right + rng.normal(0, noise_sigma, right.shape)
+    left8 = np.clip(np.round(left), 0, 255).astype(np.uint8)
+    right8 = np.clip(np.round(right), 0, 255).astype(np.uint8)
+    masks = {"nonocc": visible, "all": np.ones((h, w), bool)}
+    return StereoPair(name=name, left=left8, right=right8, gt=gt,
+                      max_disp=max_disp, masks=masks)
+
+
 # ---------------------------------------------------------------------------
 # Middlebury directory loader (mirrors main_.cpp:92-129)
 # ---------------------------------------------------------------------------

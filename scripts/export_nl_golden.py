@@ -25,6 +25,10 @@ GOLDEN = os.path.join(REPO, "tests", "golden")
 SCENES = {
     "small_scale": dict(h=144, w=192, max_disp=23, seed=3),
     "tsukuba_scale": dict(h=288, w=384, max_disp=15, seed=1),
+    # teddy scale — the scale the NL bench row quotes (VERDICT r2 item 7)
+    "teddy_scale": dict(h=375, w=450, max_disp=59, seed=0),
+    # adversarial scene: slanted planes + periodic + low texture (item 4)
+    "adv_small": dict(h=144, w=192, max_disp=23, seed=3, adversarial=True),
 }
 
 
@@ -54,8 +58,14 @@ def main() -> None:
     inputs = os.path.join(REPO, "refbuild", "inputs")
     nldriver = os.path.join(REPO, "refbuild", "nldriver")
     os.makedirs(GOLDEN, exist_ok=True)
+    only = sys.argv[1:] or None
     for name, kw in SCENES.items():
-        pair = data.make_synthetic_pair(name=name, **kw)
+        if only and name not in only:
+            continue
+        kw = dict(kw)
+        gen = (data.make_adversarial_pair if kw.pop("adversarial", False)
+               else data.make_synthetic_pair)
+        pair = gen(name=name, **kw)
         scene_dir = os.path.join(inputs, name)
         export(pair, scene_dir)
         vol = make_nl_vol(pair, kw["max_disp"] + 1)

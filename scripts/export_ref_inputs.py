@@ -44,3 +44,15 @@ if __name__ == "__main__":
         export(pair, os.path.join(root, name))
         print(f"{name}: h={kw['h']} w={kw['w']} max_disp={kw['max_disp']} "
               f"-> {root}/{name}")
+
+    # adversarial scenes (VERDICT r2 item 4): slanted planes (non-integer
+    # GT), low-texture regions, repeated patterns — dense tie structure
+    adversarial = {
+        "adv_teddy": dict(h=375, w=450, max_disp=59, seed=0),
+        "adv_small": dict(h=144, w=192, max_disp=23, seed=3),
+    }
+    for name, kw in adversarial.items():
+        pair = data.make_adversarial_pair(name=name, **kw)
+        export(pair, os.path.join(root, name))
+        print(f"{name}: h={kw['h']} w={kw['w']} max_disp={kw['max_disp']} "
+              f"-> {root}/{name}")

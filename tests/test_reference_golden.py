@@ -81,3 +81,45 @@ def test_default_pipeline_matches_reference_binary_tsukuba():
 @pytest.mark.slow
 def test_default_pipeline_matches_reference_binary_teddy():
     _run_golden("teddy_scale", wta_tie_budget=2)
+
+
+# --- adversarial scenes (VERDICT r2 item 4) --------------------------------
+# make_adversarial_pair: slanted planes (non-integer GT, sub-pixel
+# rendering), periodic texture (repeated-pattern ambiguity), low-texture
+# regions — cost ties are DENSE here, exactly where f32-vs-f64 and
+# traversal-order divergence would surface. Measured when the fixtures were
+# generated (2026-08-19): adv_small WTA and final both bit-identical
+# (0 differing pixels of 27648).
+
+ADV_SCENES = {
+    "adv_small": dict(h=144, w=192, max_disp=23, seed=3),
+    "adv_teddy": dict(h=375, w=450, max_disp=59, seed=0),
+}
+
+
+def _run_adv_golden(scene, wta_tie_budget=0, final_tie_budget=0):
+    params = ADV_SCENES[scene]
+    pair = data.make_adversarial_pair(name=scene, **params)
+
+    ref_wta = load_ref_disp(os.path.join(GOLDEN, f"{scene}_wta.bin"))
+    ref_final = load_ref_disp(os.path.join(GOLDEN, f"{scene}_final.bin"))
+
+    cfg = MODEL_REGISTRY["census_grad_cbca_sgm"](max_disp=params["max_disp"])
+    out = pipeline.match_pair(pair.left, pair.right, cfg)
+    ours_wta = np.asarray(out["disp_left_raw"])
+    ours_final = np.round(np.asarray(out["disparity"])).astype(np.int32)
+
+    n_wta = int((ours_wta != ref_wta).sum())
+    n_final = int((ours_final != ref_final).sum())
+    print(f"{scene}: wta flips {n_wta}, final flips {n_final}")
+    assert n_wta <= wta_tie_budget, f"WTA differs at {n_wta} px"
+    assert n_final <= final_tie_budget, f"final differs at {n_final} px"
+
+
+def test_adversarial_scene_matches_reference_binary():
+    _run_adv_golden("adv_small")
+
+
+@pytest.mark.slow
+def test_adversarial_teddy_matches_reference_binary():
+    _run_adv_golden("adv_teddy")
