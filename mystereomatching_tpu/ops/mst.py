@@ -253,6 +253,9 @@ def _rank_tour(is_edge: jnp.ndarray, succ: jnp.ndarray, nc: int,
     newid = (c2 + offs[:, None]).reshape(-1) - 1      # [4N]
     iota = jnp.arange(de, dtype=jnp.int32)
     live = is_edge & (succ != iota)
+    # (a 16-combination plane-shift replacement for this 4N-row gather was
+    # measured SLOWER on-chip — 29.5 vs 20.9 ms root_tree — the masked
+    # select chain doesn't fuse; the gather stays)
     succ_new = jnp.where(live, newid[succ], -1)        # -1: tour end/self
     slot = jnp.where(is_edge, newid, nc)               # nc: dropped
     iota_c = jnp.arange(nc, dtype=jnp.int32)
@@ -442,10 +445,17 @@ def _dedup_contract(cu, cv, rowkey, alive, c_cap: int, e_cap: int):
     big = jnp.int32(2**31 - 1)
     a = jnp.where(alive, jnp.minimum(cu, cv), jnp.int32(c_cap))
     b = jnp.where(alive, jnp.maximum(cu, cv), jnp.int32(c_cap))
-    # sort edges lexicographically by pair (a, b) — no packed key, so
-    # c_cap is unconstrained (batched frames push it past sqrt(2^31));
-    # payload rides along in one fused sort. Dead edges (a = c_cap) last.
-    a_s, b_s, key_s = jax.lax.sort((a, b, rowkey), num_keys=2)
+    if (c_cap + 1) * (c_cap + 2) < 2**31:
+        # pack the pair into ONE int32 key (single-frame sizes): a 1-key
+        # 2-array sort measurably beats the 2-key 3-array lex sort
+        packed = a * jnp.int32(c_cap + 1) + b
+        p_s, key_s = jax.lax.sort((packed, rowkey), num_keys=1)
+        a_s = p_s // jnp.int32(c_cap + 1)
+        b_s = p_s - a_s * jnp.int32(c_cap + 1)
+    else:
+        # batched frames push c_cap past sqrt(2^31): lexicographic 2-key
+        # sort, payload riding along. Dead edges (a = c_cap) sort last.
+        a_s, b_s, key_s = jax.lax.sort((a, b, rowkey), num_keys=2)
     start = jnp.concatenate([jnp.ones((1,), jnp.int32),
                              ((a_s[1:] != a_s[:-1])
                               | (b_s[1:] != b_s[:-1])).astype(jnp.int32)])
@@ -558,17 +568,21 @@ def boruvka_mst_contracted(wr: jnp.ndarray, wd: jnp.ndarray) -> jnp.ndarray:
     euv = jnp.stack([eu2, ev2], 1)
     valid_k, key_k = valid2, key2
     c_k = c_cap
+    # rounds per cascade level / finish threshold (tunable: each extra
+    # round per level trades a dedup SORT for cheap small-graph rounds)
+    casc_r = int(os.environ.get("MYSM_CASCADE_R", "2"))
+    casc_stop = int(os.environ.get("MYSM_CASCADE_STOP", "1024"))
     levels = []                       # (rows_of_rounds, key_k, valid_k, e_cap)
-    while c_k > 1024:
+    while c_k > casc_stop:
         e_cap_k = euv.shape[0]
         body = _compact_round_body(euv, valid_k, c_k)
         comp2 = jnp.arange(c_k, dtype=jnp.int32)
         rows_k = []
-        for _ in range(2):
+        for _ in range(casc_r):
             comp2, rows = body(comp2)
             rows_k.append(rows)
         levels.append((rows_k, key_k, valid_k, e_cap_k))
-        c_next = c_k >> 2             # 2 rounds => components >= 4x nodes
+        c_next = c_k >> casc_r        # R rounds => components >= 2^R nodes
         is_root2 = (comp2 == jnp.arange(c_k, dtype=jnp.int32)).astype(jnp.int32)
         newc2 = _cumsum_flat(is_root2) - 1
         comp2_c = newc2[comp2]
