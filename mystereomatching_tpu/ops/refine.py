@@ -468,12 +468,18 @@ def proper_interpolation(
     from mystereomatching_tpu.ops import pallas_kernels as pk
 
     h, w = disp.shape
+    import os as _os
+
     if pk.tpu_backend():
         # VMEM kernels (one pass instead of 320 HBM-bound steps): whole
         # plane when it fits scoped VMEM, overlapping halo'd tiles beyond
         if h * w * 4 * 16 < 12 * 1024 * 1024:
-            occ_fill, mis_raw, mis_cdif, fany = pk.proper_interpolation_pallas(
-                disp, img, offs)
+            # grid-over-directions: ONE Mosaic compile instead of 16
+            # (MYSM_PI_NOGRID=1 restores the per-direction kernels)
+            pi = (pk.proper_interpolation_pallas
+                  if _os.environ.get("MYSM_PI_NOGRID")
+                  else pk.proper_interpolation_pallas_grid)
+            occ_fill, mis_raw, mis_cdif, fany = pi(disp, img, offs)
         else:
             occ_fill, mis_raw, mis_cdif, fany = (
                 pk.proper_interpolation_pallas_tiled(disp, img, offs))

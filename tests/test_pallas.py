@@ -142,6 +142,34 @@ def test_proper_interpolation_pallas_matches_xla(rng, small_pair):
     np.testing.assert_array_equal(got, want)
 
 
+def test_proper_interpolation_grid_matches_per_direction(rng):
+    """Grid-over-directions PI kernel (one Mosaic compile) == the 16
+    per-direction kernels, except mis_disp's sentinel at unfound pixels
+    (guarded to -1 vs undefined; callers never read it there)."""
+    import jax.numpy as jnp
+
+    from mystereomatching_tpu.ops import refine as R
+    from mystereomatching_tpu.ops.pallas_kernels import (
+        proper_interpolation_pallas, proper_interpolation_pallas_grid)
+
+    h, w, depth = 40, 56, 6
+    disp = jnp.asarray(rng.integers(-1, 12, (h, w)), jnp.int32)
+    disp = jnp.where(jnp.asarray(rng.random((h, w)) < 0.2), -32, disp)
+    img = jnp.moveaxis(
+        jnp.asarray(rng.integers(0, 255, (h, w, 3)), jnp.float32), -1, 0)
+    offs = R._pi_offsets(depth)
+    occ_a, misd_a, misc_a, fany_a = proper_interpolation_pallas(
+        disp, img, offs, interpret=True)
+    occ_b, misd_b, misc_b, fany_b = proper_interpolation_pallas_grid(
+        disp, img, offs, interpret=True)
+    np.testing.assert_array_equal(np.asarray(occ_a), np.asarray(occ_b))
+    np.testing.assert_array_equal(np.asarray(fany_a), np.asarray(fany_b))
+    np.testing.assert_array_equal(np.asarray(misc_a), np.asarray(misc_b))
+    found = np.asarray(misc_a) < np.finfo(np.float32).max
+    np.testing.assert_array_equal(np.asarray(misd_a)[found],
+                                  np.asarray(misd_b)[found])
+
+
 def test_proper_interpolation_tiled_matches_whole(rng):
     """Halo'd-tile PI kernel == whole-plane PI kernel (forced multi-tile)."""
     import jax.numpy as jnp

@@ -88,8 +88,14 @@ def test_default_pipeline_matches_reference_binary_teddy():
 # rendering), periodic texture (repeated-pattern ambiguity), low-texture
 # regions — cost ties are DENSE here, exactly where f32-vs-f64 and
 # traversal-order divergence would surface. Measured when the fixtures were
-# generated (2026-08-19): adv_small WTA and final both bit-identical
-# (0 differing pixels of 27648).
+# generated (2026-08-19):
+#   adv_small: WTA and final both BIT-IDENTICAL (0 differing px of 27648).
+#   adv_teddy: 15 WTA / 12 final flips of 168750 (0.009%); the flip-delta
+#   histogram is {1: 2, 12: 8, 34: 1, 35: 1, 36: 3} — eight flips land
+#   exactly one texture PERIOD away (the periodic rectangle) and five jump
+#   between surfaces, i.e. genuine near-tie ambiguity resolved differently
+#   by f32 vs the reference's mixed float/double accumulation, not a
+#   systematic divergence. Budgets are 2x the recorded counts.
 
 ADV_SCENES = {
     "adv_small": dict(h=144, w=192, max_disp=23, seed=3),
@@ -122,4 +128,4 @@ def test_adversarial_scene_matches_reference_binary():
 
 @pytest.mark.slow
 def test_adversarial_teddy_matches_reference_binary():
-    _run_adv_golden("adv_teddy")
+    _run_adv_golden("adv_teddy", wta_tie_budget=30, final_tie_budget=25)
