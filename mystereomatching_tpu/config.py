@@ -154,6 +154,11 @@ class MatchConfig:
 
     # --- NL tree filter -----------------------------------------------------
     nl_sigma: float = 0.1              # NLCCA sigma (NL/NLCCA.cpp:33)
+    nl_filter_dtype: str = "float32"   # "bfloat16": filter the [N,D]
+                                       # columns in bf16 (peel phases only;
+                                       # tree build + core doubling stay
+                                       # exact) — documented-approximate
+                                       # NL fast mode, ~2x peel bandwidth
     nl_tree_host: bool = False         # hybrid: host-C++ Kruskal MST build
     nl_post_process: bool = False      # qx non-local post-processing flow
     #   (disparity(..., true), NL/qx_nonlocal_cost_aggregation.cpp:72-109):

@@ -155,7 +155,10 @@ def aggregate(
     if method == "nl":
         from mystereomatching_tpu.ops.nl import nl_aggregate
 
-        return nl_aggregate(vol, image, sigma=cfg.nl_sigma, tree=tree)
+        cdt = (None if cfg.nl_filter_dtype == "float32"
+               else cfg.nl_filter_dtype)
+        return nl_aggregate(vol, image, sigma=cfg.nl_sigma, tree=tree,
+                            compute_dtype=cdt)
     if method == "gfnl":
         from mystereomatching_tpu.ops.nl import gfnl_aggregate
 

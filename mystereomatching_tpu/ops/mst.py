@@ -805,7 +805,7 @@ def build_tree_batch(images: jnp.ndarray,
 
 
 def tree_filter(tree: RootedTree, values: jnp.ndarray, sigma: float = 0.1,
-                peels: int = 12) -> jnp.ndarray:
+                peels: int = 12, compute_dtype=None) -> jnp.ndarray:
     """Two-pass MST filter (qx_tree_filter.cpp:61-117), peel-structured.
 
     values: [N, D] (or [N]) per-node vectors. Similarity per node-parent
@@ -847,7 +847,8 @@ def tree_filter(tree: RootedTree, values: jnp.ndarray, sigma: float = 0.1,
         h = w = 0
     if (peels > 0 and h * w == n
             and not os.environ.get("MYSM_NO_TREEPEEL")):
-        out = _tree_filter_peeled(tree.parent, sim, x, h, w, peels)
+        out = _tree_filter_peeled(tree.parent, sim, x, h, w, peels,
+                                  compute_dtype=compute_dtype)
         return out[:, 0] if squeeze else out
     return _tree_filter_doubling(tree.parent, sim, x, squeeze)
 
@@ -899,13 +900,21 @@ def _tree_filter_doubling(parent: jnp.ndarray, sim: jnp.ndarray,
 
 def _tree_filter_peeled(parent: jnp.ndarray, sim: jnp.ndarray,
                         x: jnp.ndarray, h: int, w: int,
-                        peels: int) -> jnp.ndarray:
+                        peels: int, compute_dtype=None) -> jnp.ndarray:
     """Peel-structured two-pass filter over a grid tree/forest.
 
     parent: [N] grid-neighbor parents (roots self); sim: [N] with 0 at
     roots; x: [N, D]. See :func:`tree_filter` for the algorithm sketch.
+
+    ``compute_dtype``: dtype of the bandwidth-heavy PEEL phases (the
+    [H,W,D] plane pushes). bfloat16 halves their HBM traffic at ~0.4%
+    relative accumulate error — the documented-approximate NL fast mode.
+    The compacted CORE doubling stays float32 regardless (its fused
+    gathers pack parent ids into float columns, which bf16's 8-bit
+    mantissa cannot hold).
     """
     n, d = x.shape
+    cdt = jnp.dtype(compute_dtype) if compute_dtype else jnp.float32
     ids2 = jnp.arange(n, dtype=jnp.int32).reshape(h, w)
     p2 = parent.reshape(h, w)
     delta = p2 - ids2
@@ -929,14 +938,14 @@ def _tree_filter_peeled(parent: jnp.ndarray, sim: jnp.ndarray,
     child = [shift2(par_slot[_REV_SLOT[s]], dv, du)
              for s, (dv, du) in enumerate(_SLOT_OFF)]
 
-    simp = sim.reshape(h, w)
+    simp = sim.reshape(h, w).astype(cdt)
     simv = [shift2(simp, dv, du)[..., None]            # sim of s-child edge
             for s, (dv, du) in enumerate(_SLOT_OFF)]
 
     # --- up pass, peel phase (UNROLLED on purpose: a fori_loop version
     # measured 36 ms vs 20 ms — the loop carry blocks XLA from fusing the
     # masked pushes across rounds and forces leaf-stack copies) ---
-    V = x.astype(jnp.float32).reshape(h, w, d)
+    V = x.astype(cdt).reshape(h, w, d)
     alive = jnp.ones((h, w), jnp.bool_)
     leaf_masks = []
     for _ in range(peels):
@@ -956,25 +965,27 @@ def _tree_filter_peeled(parent: jnp.ndarray, sim: jnp.ndarray,
     core = alive.reshape(-1)
     cnt = jnp.sum(core.astype(jnp.int32))
     cap_fast = max(64, n // 3)
-    flat = V.reshape(n, d)
+    flat = V.reshape(n, d).astype(jnp.float32)       # core doubling: f32
     up_full, down_full = jax.lax.cond(
         cnt <= cap_fast,
         lambda: _filter_core(flat, sim, parent, core, cap_fast),
         lambda: _filter_core(flat, sim, parent, core, n))
     # S_up stays valid for peeled nodes; core rows updated
-    V_up = jnp.where(core[:, None], up_full, flat).reshape(h, w, d)
-    S = jnp.where(core[:, None], down_full, flat).reshape(h, w, d)
+    V_up = jnp.where(core[:, None], up_full.astype(cdt),
+                     V.reshape(n, d)).reshape(h, w, d)
+    S = jnp.where(core[:, None], down_full.astype(cdt),
+                  V.reshape(n, d)).reshape(h, w, d)
 
     # --- down pass, reverse peel order: S = sim*S(parent) + (1-sim^2)*S^ ---
     fac = (1.0 - simp * simp)[..., None]
     for leaf in reversed(leaf_masks):
-        upd = jnp.zeros((h, w, d), jnp.float32)
+        upd = jnp.zeros((h, w, d), cdt)
         for s, (dv, du) in enumerate(_SLOT_OFF):
             m = leaf & par_slot[s]
             upd = upd + jnp.where(m[..., None],
                                   simp[..., None] * shift2(S, dv, du), 0.0)
         S = jnp.where(leaf[..., None], upd + fac * V_up, S)
-    return S.reshape(n, d)
+    return S.reshape(n, d).astype(jnp.float32)
 
 
 def _filter_core(flat: jnp.ndarray, sim: jnp.ndarray, parent: jnp.ndarray,

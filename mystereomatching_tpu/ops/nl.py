@@ -49,11 +49,15 @@ def build_tree_host(image, prefilter: bool = True) -> RootedTree:
 
 def nl_aggregate(vol: jnp.ndarray, image: jnp.ndarray, sigma: float = 0.1,
                  prefilter: bool = True, normalize: bool = True,
-                 tree: RootedTree = None) -> jnp.ndarray:
+                 tree: RootedTree = None,
+                 compute_dtype=None) -> jnp.ndarray:
     """NL aggregation of [D,H,W] volume guided by [H,W,3] image.
 
     ``tree``: optional precomputed rooted tree (the host-build hybrid path,
-    :func:`build_tree_host`); None builds on device."""
+    :func:`build_tree_host`); None builds on device.
+    ``compute_dtype``: filter-phase dtype (cfg.nl_filter_dtype) —
+    bfloat16 halves the peel phases' HBM traffic (documented-approximate
+    fast mode; the tree build and normalization stay exact)."""
     d_, h, w = vol.shape
     if tree is None:
         tree = build_tree(image, prefilter)
@@ -65,10 +69,10 @@ def nl_aggregate(vol: jnp.ndarray, image: jnp.ndarray, sigma: float = 0.1,
         # rounds instead of two
         vals = jnp.concatenate(
             [flat, jnp.ones((h * w, 1), jnp.float32)], axis=1)
-        f = tree_filter(tree, vals, sigma)
+        f = tree_filter(tree, vals, sigma, compute_dtype=compute_dtype)
         filt = f[:, :d_] / jnp.maximum(f[:, d_:], 1e-12)
     else:
-        filt = tree_filter(tree, flat, sigma)
+        filt = tree_filter(tree, flat, sigma, compute_dtype=compute_dtype)
     return filt.T.reshape(d_, h, w)
 
 

@@ -47,6 +47,9 @@ CONFIGS = [
     # frame, useful for suite runs. Re-add {"batch": 4} here to re-measure.
     ("nl_tree_filter", {"nl_tree_host": True}, 375, 450, 59,
      "teddy-scale D=60, host-C++ Kruskal hybrid (nl_tree_host=1)"),
+    ("nl_tree_filter", {"nl_filter_dtype": "bfloat16"}, 375, 450, 59,
+     "teddy-scale D=60, bf16 tree-filter peel phases (documented-"
+     "approximate fast mode; build + core exact)"),
     ("fullres_occfill", {}, 1000, 1400, 191, "2014 large-scale D=192"),
     ("fullres_occfill",
      {"vol_dtype": "bfloat16", "compute_both_volumes": False},
