@@ -26,7 +26,18 @@ GOLDEN = os.path.join(os.path.dirname(__file__), "golden")
 SCENES = {
     "small_scale": dict(h=144, w=192, max_disp=23, seed=3),
     "tsukuba_scale": dict(h=288, w=384, max_disp=15, seed=1),
+    # teddy scale — the scale the NL bench row quotes (VERDICT r2 item 7)
+    "teddy_scale": dict(h=375, w=450, max_disp=59, seed=0),
+    # adversarial: slanted planes + periodic + low texture (item 4)
+    "adv_small": dict(h=144, w=192, max_disp=23, seed=3, adversarial=True),
 }
+
+
+def _make_pair(scene):
+    kw = dict(SCENES[scene])
+    gen = (data.make_adversarial_pair if kw.pop("adversarial", False)
+           else data.make_synthetic_pair)
+    return gen(name=scene, **kw)
 
 
 def load_u8(path):
@@ -52,7 +63,7 @@ def _run(scene, tie_budget):
     import jax.numpy as jnp
 
     params = SCENES[scene]
-    pair = data.make_synthetic_pair(name=scene, **params)
+    pair = _make_pair(scene)
     vol = make_nl_vol(pair, params["max_disp"] + 1)
 
     ref_nopost = load_u8(os.path.join(GOLDEN, f"{scene}_nl_nopost.bin"))
@@ -90,7 +101,7 @@ def _run_preset(scene, preset, mode, budget):
     from mystereomatching_tpu.models.presets import MODEL_REGISTRY
 
     params = SCENES[scene]
-    pair = data.make_synthetic_pair(name=scene, **params)
+    pair = _make_pair(scene)
     cfg = MODEL_REGISTRY[preset](max_disp=params["max_disp"])
     out = pipeline.match_pair(jnp.asarray(pair.left), jnp.asarray(pair.right),
                               cfg)
@@ -119,3 +130,39 @@ def test_nl_post_preset_matches_reference_tsukuba():
 @pytest.mark.slow
 def test_nl_census_post_preset_matches_reference_tsukuba():
     _run_preset("tsukuba_scale", "nl_census_post", "census", budget=0)
+
+
+# --- teddy scale + adversarial (VERDICT r2 items 4+7) ----------------------
+# Measured flip counts when the fixtures were generated (2026-08-19, on the
+# real chip): teddy injected-volume 0/0, teddy census 0/0 (BIT-identical),
+# teddy adgrad 71 nopost / 1 post (the documented +-1-gray _qx_gray C-double
+# boundary class — 71 of 168750 = 0.04%), adv_small injected 0/0,
+# adv_small adgrad 3/3, adv_small census 0/0. Budgets: recorded counts x2
+# (0 stays 0 — those paths are exact).
+
+
+@pytest.mark.slow
+def test_nl_disparity_matches_reference_teddy():
+    _run("teddy_scale", tie_budget=0)
+
+
+@pytest.mark.slow
+def test_nl_post_preset_matches_reference_teddy():
+    _run_preset("teddy_scale", "nl_post", "adgrad", budget=142)
+
+
+@pytest.mark.slow
+def test_nl_census_post_preset_matches_reference_teddy():
+    _run_preset("teddy_scale", "nl_census_post", "census", budget=0)
+
+
+def test_nl_disparity_matches_reference_adversarial():
+    _run("adv_small", tie_budget=0)
+
+
+def test_nl_post_preset_matches_reference_adversarial():
+    _run_preset("adv_small", "nl_post", "adgrad", budget=6)
+
+
+def test_nl_census_post_preset_matches_reference_adversarial():
+    _run_preset("adv_small", "nl_census_post", "census", budget=0)
