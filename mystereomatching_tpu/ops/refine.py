@@ -474,11 +474,15 @@ def proper_interpolation(
         # VMEM kernels (one pass instead of 320 HBM-bound steps): whole
         # plane when it fits scoped VMEM, overlapping halo'd tiles beyond
         if h * w * 4 * 16 < 12 * 1024 * 1024:
-            # grid-over-directions: ONE Mosaic compile instead of 16
-            # (MYSM_PI_NOGRID=1 restores the per-direction kernels)
-            pi = (pk.proper_interpolation_pallas
-                  if _os.environ.get("MYSM_PI_NOGRID")
-                  else pk.proper_interpolation_pallas_grid)
+            # MYSM_PI_GRID=1 collapses the 16 direction kernels into one
+            # grid kernel with pl.when branches — measured on-chip: cold
+            # compile 979 s (the 320-statement body blows Mosaic's compile
+            # budget, as the per-direction docstring warned), steady 10 ms
+            # — so the DEFAULT stays 16 small kernels (~4 min cold total,
+            # cacheable individually)
+            pi = (pk.proper_interpolation_pallas_grid
+                  if _os.environ.get("MYSM_PI_GRID")
+                  else pk.proper_interpolation_pallas)
             occ_fill, mis_raw, mis_cdif, fany = pi(disp, img, offs)
         else:
             occ_fill, mis_raw, mis_cdif, fany = (
