@@ -65,36 +65,72 @@ def cross_arms(
     return _grow_arms(img, sched, c_in, min_arm, directions)
 
 
+def _border_floor(h, w, dv, du, min_arm):
+    v = jnp.arange(h, dtype=jnp.int32)[:, None]
+    u = jnp.arange(w, dtype=jnp.int32)[None, :]
+    big = jnp.int32(1 << 30)
+    dist_v = v if dv < 0 else (h - 1 - v if dv > 0 else big)
+    dist_u = u if du < 0 else (w - 1 - u if du > 0 else big)
+    dist = jnp.minimum(jnp.broadcast_to(dist_v, (h, w)),
+                       jnp.broadcast_to(dist_u, (h, w)))
+    return jnp.minimum(jnp.int32(min_arm), dist)
+
+
 def _grow_arms(img, anchor_sched, neigh_thresh, min_arm, directions):
     """Shared arm-growth core: arm extends to step k while the max-channel
     |diff| to the PREVIOUS pixel stays <= neigh_thresh and to the ANCHOR
     stays <= anchor_sched[k-1] (judgeColorDif, cpp:2848-2856); lower clamp
-    min(min_arm, distance to border) (cpp:3030-3041)."""
+    min(min_arm, distance to border) (cpp:3030-3041).
+
+    TPU layout: opposite directions share their diff planes —
+    |I(p-k a)-I(p)| is the +a anchor plane shifted by -k a, and every
+    step's neighbor test is a shift of the ONE step-1 plane
+    d1(q)=|I(q+a)-I(q)| — so the 2*l_out [H,W,3] reads per direction
+    collapse to l_out reads per direction PAIR plus cheap bool-plane
+    shifts (arms measured 4.4 ms/frame of the Teddy headline before,
+    ~20x off bandwidth; the comparisons are bit-identical)."""
     img = img.astype(jnp.float32)
     h, w = img.shape[:2]
     l_out = len(anchor_sched)
-    arms = []
-    for dv, du in directions:
-        alive = jnp.ones((h, w), jnp.bool_)
-        arm = jnp.zeros((h, w), jnp.int32)
-        prev = img
+    dirs = list(directions)
+    arms = [None] * len(dirs)
+
+    def shift_bool(x, dv, du, k):
+        if k == 0:
+            return x
+        return _shift(x[..., None], dv, du, k, False)[..., 0]
+
+    paired = set()
+    for i, (dv, du) in enumerate(dirs):
+        if i in paired:
+            continue
+        j = next((jj for jj, dd in enumerate(dirs)
+                  if jj != i and dd == (-dv, -du)), None)
+        paired.add(i)
+        if j is not None:
+            paired.add(j)
+        d1ok = (jnp.max(jnp.abs(_shift(img, dv, du, 1, _PAD_FAIL) - img),
+                        axis=-1) <= neigh_thresh)
+        alive_p = jnp.ones((h, w), jnp.bool_)
+        alive_n = jnp.ones((h, w), jnp.bool_)
+        arm_p = jnp.zeros((h, w), jnp.int32)
+        arm_n = jnp.zeros((h, w), jnp.int32)
         for k in range(1, l_out + 1):
-            cur = _shift(img, dv, du, k, _PAD_FAIL)
-            neigh_ok = jnp.max(jnp.abs(cur - prev), axis=-1) <= neigh_thresh
-            anchor_ok = jnp.max(jnp.abs(cur - img),
-                                axis=-1) <= anchor_sched[k - 1]
-            alive = alive & neigh_ok & anchor_ok
-            arm = arm + alive.astype(jnp.int32)
-            prev = cur
-        v = jnp.arange(h, dtype=jnp.int32)[:, None]
-        u = jnp.arange(w, dtype=jnp.int32)[None, :]
-        big = jnp.int32(1 << 30)
-        dist_v = v if dv < 0 else (h - 1 - v if dv > 0 else big)
-        dist_u = u if du < 0 else (w - 1 - u if du > 0 else big)
-        dist = jnp.minimum(jnp.broadcast_to(dist_v, (h, w)),
-                           jnp.broadcast_to(dist_u, (h, w)))
-        floor = jnp.minimum(jnp.int32(min_arm), dist)
-        arms.append(jnp.maximum(arm, floor))
+            adk = jnp.max(jnp.abs(_shift(img, dv, du, k, _PAD_FAIL) - img),
+                          axis=-1)
+            aok_p = adk <= anchor_sched[k - 1]
+            alive_p = alive_p & aok_p & shift_bool(d1ok, dv, du, k - 1)
+            arm_p = arm_p + alive_p.astype(jnp.int32)
+            if j is not None:
+                # |I(p-k a)-I(p)| == adk at p-k a; |I(p-k a)-I(p-(k-1)a)|
+                # == d1 at p-k a
+                alive_n = alive_n & shift_bool(aok_p, -dv, -du, k) \
+                    & shift_bool(d1ok, -dv, -du, k)
+                arm_n = arm_n + alive_n.astype(jnp.int32)
+        arms[i] = jnp.maximum(arm_p, _border_floor(h, w, dv, du, min_arm))
+        if j is not None:
+            arms[j] = jnp.maximum(arm_n,
+                                  _border_floor(h, w, -dv, -du, min_arm))
     return jnp.stack(arms)
 
 
