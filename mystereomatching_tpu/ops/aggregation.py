@@ -57,18 +57,21 @@ def cbca(
         swap = lambda x: jnp.swapaxes(x, -1, -2)
         armLT, armRT = swap(armL), swap(armR)            # [D, W, H]
         for it in range(iterations):
+            # the second pass fuses the area normalization in-kernel
+            # (div_pair): one [1,...] write instead of [2,...] + a
+            # separate divide pass
             if it % 2 == 0:                              # H-dir pass, then V
                 volT = pk.sublane_pass_auto(swap(vol)[None], armLT, armRT,
                                             max_arm)[0]
                 stacked = jnp.stack([swap(volT), area_of(armL, armR)])
-                stacked = pk.sublane_pass_auto(stacked, armU, armD, max_arm)
-                vol = stacked[0] / jnp.maximum(stacked[1], 1.0)
+                vol = pk.sublane_pass_auto(stacked, armU, armD, max_arm,
+                                           div_pair=True)[0]
             else:                                        # V-dir pass, then H
                 v1 = pk.sublane_pass_auto(vol[None], armU, armD, max_arm)[0]
                 stackedT = pk.sublane_pass_auto(
                     swap(jnp.stack([v1, area_of(armU, armD)])),
-                    armLT, armRT, max_arm)
-                vol = swap(stackedT[0] / jnp.maximum(stackedT[1], 1.0))
+                    armLT, armRT, max_arm, div_pair=True)
+                vol = swap(stackedT[0])
         return vol
 
     for it in range(iterations):

@@ -65,11 +65,14 @@ _REDUCE_OPS = {
 
 
 def _taps_kernel(vol_ref, an_ref, ap_ref, out_ref, buf, *, max_arm: int,
-                 op: str):
+                 op: str, div_pair: bool = False):
     """One arm-bounded reduction pass along the sublane (axis-2) block dim.
 
     vol_ref/out_ref: [C, 1, A, B]; an/ap_ref: [1, A, B] int32;
     buf: [C, 1, A + 2*max_arm, B] scratch padded with the op identity.
+    ``div_pair``: C == 2 and out_ref is [1, 1, A, B] =
+    res[0] / max(res[1], 1) — CBCA's area normalization fused into the
+    pass (halves the write traffic and drops the separate divide pass).
     """
     # Compute in f32 regardless of the storage dtype: Mosaic supports
     # neither dynamic sublane slices (need 8-aligned starts) nor rotates on
@@ -98,7 +101,11 @@ def _taps_kernel(vol_ref, an_ref, ap_ref, out_ref, buf, *, max_arm: int,
         return acc
 
     res = jax.lax.fori_loop(1, jnp.minimum(kmax, m) + 1, body, v)
-    out_ref[:] = res.astype(out_ref.dtype)
+    if div_pair:
+        out_ref[:] = (res[:1] / jnp.maximum(res[1:], 1.0)).astype(
+            out_ref.dtype)
+    else:
+        out_ref[:] = res.astype(out_ref.dtype)
 
 
 def sublane_pass_fits(c: int, a: int, max_arm: int) -> bool:
@@ -214,35 +221,45 @@ def _sublane_pass_windowed(vol: jnp.ndarray, an: jnp.ndarray, ap: jnp.ndarray,
 
 def sublane_pass_auto(vol: jnp.ndarray, an: jnp.ndarray, ap: jnp.ndarray,
                       max_arm: int, interpret: bool = False,
-                      op: str = "sum") -> jnp.ndarray:
+                      op: str = "sum",
+                      div_pair: bool = False) -> jnp.ndarray:
     """Arm-bounded reduction along axis 2: full-axis block when it fits
     scoped VMEM, windowed-lookahead kernel otherwise."""
+    if div_pair and vol.shape[0] != 2:
+        raise ValueError("div_pair needs a [2, ...] stacked volume")
     if sublane_pass_fits(vol.shape[0], vol.shape[2], max_arm):
-        return _sublane_pass(vol, an, ap, max_arm, interpret, op)
+        return _sublane_pass(vol, an, ap, max_arm, interpret, op, div_pair)
+    if div_pair:
+        st = _sublane_pass_windowed(vol, an, ap, max_arm, interpret, op)
+        return st[:1] / jnp.maximum(st[1:], 1.0)
     return _sublane_pass_windowed(vol, an, ap, max_arm, interpret, op)
 
 
 def _sublane_pass(vol: jnp.ndarray, an: jnp.ndarray, ap: jnp.ndarray,
                   max_arm: int, interpret: bool = False,
-                  op: str = "sum") -> jnp.ndarray:
+                  op: str = "sum", div_pair: bool = False) -> jnp.ndarray:
     """Arm-bounded reduction along axis 2 of vol [C, B, A, L]; arms [Ba, A, L]."""
     c, b, a, l = vol.shape
     ba = an.shape[0]
     bt = min(l, 128)
     grid = (b, _cdiv(l, bt))
+    c_out = 1 if div_pair else c
     vol_spec = pl.BlockSpec((c, 1, a, bt), lambda bi, t: (0, bi, 0, t),
+                            memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((c_out, 1, a, bt), lambda bi, t: (0, bi, 0, t),
                             memory_space=pltpu.VMEM)
     arm_spec = pl.BlockSpec((1, a, bt),
                             lambda bi, t: (bi if ba != 1 else 0, 0, t),
                             memory_space=pltpu.VMEM)
-    kern = functools.partial(_taps_kernel, max_arm=max_arm, op=op)
+    kern = functools.partial(_taps_kernel, max_arm=max_arm, op=op,
+                             div_pair=div_pair)
     sdt = jnp.float32 if jnp.issubdtype(vol.dtype, jnp.floating) else jnp.int32
     return pl.pallas_call(
         kern,
         grid=grid,
         in_specs=[vol_spec, arm_spec, arm_spec],
-        out_specs=vol_spec,
-        out_shape=jax.ShapeDtypeStruct(vol.shape, vol.dtype),
+        out_specs=out_spec,
+        out_shape=jax.ShapeDtypeStruct((c_out,) + vol.shape[1:], vol.dtype),
         scratch_shapes=[pltpu.VMEM((c, 1, a + 2 * max_arm, bt), sdt)],
         cost_estimate=pl.CostEstimate(
             flops=vol.size * (4 * max_arm + 1),
