@@ -159,6 +159,8 @@ class MatchConfig:
                                        # tree build + core doubling stay
                                        # exact) — documented-approximate
                                        # NL fast mode, ~2x peel bandwidth
+    nl_neighbors: int = 4              # MST edge mode: 4 or 8 neighbors
+                                       # (qx_mst_kruskals_image.h:11-12,37)
     nl_tree_host: bool = False         # hybrid: host-C++ Kruskal MST build
     nl_post_process: bool = False      # qx non-local post-processing flow
     #   (disparity(..., true), NL/qx_nonlocal_cost_aggregation.cpp:72-109):
@@ -349,6 +351,10 @@ class MatchConfig:
             raise ValueError(
                 f"cbca_combine must be 1..4 (combine2Vm variants), "
                 f"got {self.cbca_combine}")
+        if self.nl_neighbors not in (4, 8):
+            raise ValueError(
+                f"nl_neighbors must be 4 or 8 "
+                f"(qx_mst_kruskals_image.h:11-12), got {self.nl_neighbors}")
         return self
 
 

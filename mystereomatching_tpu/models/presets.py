@@ -78,6 +78,18 @@ def _baseline4(max_disp: int = 59, **kw) -> MatchConfig:
     return MatchConfig(max_disp=max_disp, **base).validate()
 
 
+@register("nl_8nr")
+def _nl_8nr(max_disp: int = 59, **kw) -> MatchConfig:
+    """nl_tree_filter with the reference's selectable 8-neighbor MST edge
+    mode (init(..., nr_neighbor=8), qx_mst_kruskals_image.h:12,37 /
+    qx_mst_compute_edges_8neighbor cpp:71-86)."""
+    base = dict(cost="ad_grad", aggregation="nl", optimization="wta",
+                do_refine=True, do_lr_consis=True,
+                compute_both_volumes=False, nl_neighbors=8)
+    base.update(kw)
+    return MatchConfig(max_disp=max_disp, **base).validate()
+
+
 @register("nl_post")
 def _nl_post(max_disp: int = 59, **kw) -> MatchConfig:
     """The standalone qx NL pipeline WITH non-local post-processing

@@ -34,6 +34,7 @@ def _load() -> ctypes.CDLL:
     lib.msm_median3x3_u8.argtypes = [u8p, u8p] + [ctypes.c_int] * 3
     lib.msm_median_hist_u8.argtypes = [u8p, u8p] + [ctypes.c_int] * 3
     lib.msm_mst_grid.argtypes = [u8p] + [ctypes.c_int] * 3 + [i32p] * 3
+    lib.msm_mst_grid_n.argtypes = [u8p] + [ctypes.c_int] * 4 + [i32p] * 3
     lib.msm_tree_filter.argtypes = [i32p, i32p, i32p, f32p, f32p,
                                     ctypes.c_int, ctypes.c_int, ctypes.c_float]
     _LIB = lib
@@ -72,8 +73,11 @@ def median_hist(img: np.ndarray, radius: int) -> np.ndarray:
     return dst
 
 
-def mst_grid(image: np.ndarray) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """Rooted grid MST: (parent[N], weight[N], bfs_order[N])."""
+def mst_grid(image: np.ndarray, neighbors: int = 4
+             ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Rooted grid MST: (parent[N], weight[N], bfs_order[N]).
+
+    ``neighbors``: 4 or 8 (qx_mst_kruskals_image.h:11-12)."""
     lib = _load()
     img = np.ascontiguousarray(image, np.uint8)
     if img.ndim == 2:
@@ -83,7 +87,8 @@ def mst_grid(image: np.ndarray) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     parent = np.empty(n, np.int32)
     weight = np.empty(n, np.int32)
     order = np.empty(n, np.int32)
-    lib.msm_mst_grid(_u8(img), h, w, ch, _i32(parent), _i32(weight), _i32(order))
+    lib.msm_mst_grid_n(_u8(img), h, w, ch, neighbors,
+                       _i32(parent), _i32(weight), _i32(order))
     return parent, weight, order
 
 

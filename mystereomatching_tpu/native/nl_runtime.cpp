@@ -100,10 +100,14 @@ void msm_median_hist_u8(const uint8_t* src, uint8_t* dst, int h, int w,
 // image: [h*w*ch] uint8 (median-prefiltered by caller if desired).
 // Outputs: parent[n] (root 0 -> itself), weight[n] (edge to parent),
 // order[n] = BFS topological order (parents before children).
-void msm_mst_grid(const uint8_t* image, int h, int w, int ch,
-                  int32_t* parent, int32_t* weight, int32_t* order) {
+// nr: 4 or 8 neighbors (qx_mst_kruskals_image.h:11-12; the 8-neighbor
+// enumeration appends per cell the down-right then down-left diagonal,
+// row-major — cpp:71-86).
+void msm_mst_grid_n(const uint8_t* image, int h, int w, int ch, int nr,
+                    int32_t* parent, int32_t* weight, int32_t* order) {
   const int n = h * w;
-  const int ne = h * (w - 1) + (h - 1) * w;
+  const int ne4 = h * (w - 1) + (h - 1) * w;
+  const int ne = nr == 8 ? ne4 + 2 * (h - 1) * (w - 1) : ne4;
   std::vector<int32_t> eu(ne), ev(ne);
   std::vector<uint8_t> ew(ne);
   int k = 0;
@@ -123,6 +127,13 @@ void msm_mst_grid(const uint8_t* image, int h, int w, int ch,
       int a = v * w + u;
       eu[k] = a; ev[k] = a + w; ew[k] = wdiff(a, a + w); ++k;
     }
+  if (nr == 8)                           // diagonals, row-major, DR then DL
+    for (int v = 0; v + 1 < h; ++v)
+      for (int u = 0; u + 1 < w; ++u) {
+        int a = v * w + u;
+        eu[k] = a; ev[k] = a + w + 1; ew[k] = wdiff(a, a + w + 1); ++k;
+        eu[k] = a + 1; ev[k] = a + w; ew[k] = wdiff(a + 1, a + w); ++k;
+      }
 
   // 256-bin counting sort of edge indices by weight (stable)
   std::vector<int> bins(257, 0);
@@ -175,6 +186,11 @@ void msm_mst_grid(const uint8_t* image, int h, int w, int ch,
     }
   }
   std::memcpy(order, queue.data(), sizeof(int32_t) * n);
+}
+
+void msm_mst_grid(const uint8_t* image, int h, int w, int ch,
+                  int32_t* parent, int32_t* weight, int32_t* order) {
+  msm_mst_grid_n(image, h, w, ch, 4, parent, weight, order);
 }
 
 // --- two-pass tree filter ---------------------------------------------------

@@ -161,7 +161,7 @@ def aggregate(
         cdt = (None if cfg.nl_filter_dtype == "float32"
                else cfg.nl_filter_dtype)
         return nl_aggregate(vol, image, sigma=cfg.nl_sigma, tree=tree,
-                            compute_dtype=cdt)
+                            compute_dtype=cdt, neighbors=cfg.nl_neighbors)
     if method == "gfnl":
         from mystereomatching_tpu.ops.nl import gfnl_aggregate
 

@@ -217,17 +217,157 @@ def _jump_to_root(parent: jnp.ndarray) -> jnp.ndarray:
 # slot order: 0=right, 1=down, 2=left, 3=up (cyclic for the Euler tour)
 _REV_SLOT = (2, 3, 0, 1)
 _SLOT_OFF = ((0, 1), (1, 0), (0, -1), (-1, 0))   # (dv, du) per slot
+# 8-neighbor extension (nr_neighbor=8, qx_mst_kruskals_image.h:12,37):
+# extra slots 4=down-right, 5=down-left, 6=up-left, 7=up-right. Any fixed
+# cyclic slot order yields a valid Euler tour; reverse pairs must match.
+_REV_SLOT8 = (2, 3, 0, 1, 6, 7, 4, 5)
+_SLOT_OFF8 = _SLOT_OFF + ((1, 1), (1, -1), (-1, -1), (-1, 1))
+
+
+def grid_edge_weights8(image: jnp.ndarray, prefilter: bool = True):
+    """(w_right, w_down, w_dr [H-1,W-1], w_dl [H-1,W-1]) for the 8-neighbor
+    grid (qx_mst_compute_edges_8neighbor, NL/qx_mst_kruskals_image.cpp:
+    71-86): the 4-neighbor edges plus, per cell, the down-right diagonal
+    (y,x)-(y+1,x+1) and the down-left diagonal (y,x+1)-(y+1,x)."""
+    img = image
+    if img.ndim == 2:
+        img = img[..., None]
+    if prefilter:
+        img = jnp.round(median_small(
+            jnp.moveaxis(img.astype(jnp.float32), -1, 0), 3))
+        img = jnp.moveaxis(img, 0, -1)
+    img = img.astype(jnp.int32)
+    wr = jnp.max(jnp.abs(img[:, 1:] - img[:, :-1]), -1)
+    wd = jnp.max(jnp.abs(img[1:, :] - img[:-1, :]), -1)
+    wdr = jnp.max(jnp.abs(img[1:, 1:] - img[:-1, :-1]), -1)
+    wdl = jnp.max(jnp.abs(img[1:, :-1] - img[:-1, 1:]), -1)
+    return wr, wd, wdr, wdl
+
+
+def _flatten_edges8(wr, wd, wdr, wdl):
+    """8-neighbor edge arrays in the reference's enumeration order
+    (qx_mst_compute_edges_8neighbor cpp:71-86): right edges row-major,
+    down edges column-major, then per cell row-major the DR diagonal
+    followed by the DL diagonal — index tie-breaking mirrors the stable
+    counting sort + Kruskal scan."""
+    h, w = wr.shape[0], wr.shape[1] + 1
+    eu4, ev4, ew4 = _flatten_edges(wr, wd)
+    ids = jnp.arange(h * w, dtype=jnp.int32).reshape(h, w)
+    eu_d = jnp.stack([ids[:-1, :-1], ids[:-1, 1:]], -1).reshape(-1)
+    ev_d = jnp.stack([ids[1:, 1:], ids[1:, :-1]], -1).reshape(-1)
+    ew_d = jnp.stack([wdr, wdl], -1).reshape(-1).astype(jnp.int32)
+    return (jnp.concatenate([eu4, eu_d]), jnp.concatenate([ev4, ev_d]),
+            jnp.concatenate([ew4, ew_d]))
+
+
+def boruvka_mst8(wr: jnp.ndarray, wd: jnp.ndarray, wdr: jnp.ndarray,
+                 wdl: jnp.ndarray) -> jnp.ndarray:
+    """MST of the 8-neighbor grid (the reference's selectable
+    nr_neighbor=8 mode). Returns a bool mask over :func:`_flatten_edges8`
+    order; deterministic Kruskal tie order like :func:`boruvka_mst`."""
+    h, w = wr.shape[0], wr.shape[1] + 1
+    n = h * w
+    eu, ev, ew = _flatten_edges8(wr, wd, wdr, wdl)
+    e = eu.shape[0]
+    big_w = jnp.int32(2**31 - 1)
+    big_i = jnp.int32(e)
+    idx_bits = max(20, int(e).bit_length())
+    if 9 + idx_bits > 31:
+        raise ValueError(
+            f"boruvka_mst8: {e} edges need {idx_bits} index bits; "
+            "int32 packed keys overflow — use the host tree build "
+            "(cfg.nl_tree_host=1) for frames this large")
+    base4 = h * (w - 1) + w * (h - 1)
+    eidx_r = jnp.arange(h * (w - 1), dtype=jnp.int32).reshape(h, w - 1)
+    eidx_d = (h * (w - 1)
+              + jnp.arange(w * (h - 1), dtype=jnp.int32).reshape(w, h - 1).T)
+    cell = jnp.arange((h - 1) * (w - 1), dtype=jnp.int32).reshape(h - 1,
+                                                                  w - 1)
+    eidx_dr = base4 + 2 * cell
+    eidx_dl = base4 + 2 * cell + 1
+    key_r = (wr << idx_bits) | eidx_r
+    key_d = (wd << idx_bits) | eidx_d
+    key_dr = (wdr << idx_bits) | eidx_dr                # [H-1, W-1]
+    key_dl = (wdl << idx_bits) | eidx_dl
+
+    def pad2(x, top, bot, lef, rig):
+        return jnp.pad(x, ((top, bot), (lef, rig)), constant_values=big_w)
+
+    comp = jnp.arange(n, dtype=jnp.int32)
+    in_mst = jnp.zeros((e,), jnp.bool_)
+
+    def edge_labels(c2):
+        """Per-edge endpoint labels, flattened-edge order (plane slices)."""
+        cu = jnp.concatenate([
+            c2[:, :-1].reshape(-1), c2[:-1, :].T.reshape(-1),
+            jnp.stack([c2[:-1, :-1], c2[:-1, 1:]], -1).reshape(-1)])
+        cv = jnp.concatenate([
+            c2[:, 1:].reshape(-1), c2[1:, :].T.reshape(-1),
+            jnp.stack([c2[1:, 1:], c2[1:, :-1]], -1).reshape(-1)])
+        return cu, cv
+
+    def round_body(state):
+        comp, in_mst = state
+        c2 = comp.reshape(h, w)
+        kr = jnp.where(c2[:, :-1] != c2[:, 1:], key_r, big_w)
+        kd = jnp.where(c2[:-1, :] != c2[1:, :], key_d, big_w)
+        kdr = jnp.where(c2[:-1, :-1] != c2[1:, 1:], key_dr, big_w)
+        kdl = jnp.where(c2[:-1, 1:] != c2[1:, :-1], key_dl, big_w)
+        node_key = jnp.minimum(
+            jnp.minimum(pad2(kr, 0, 0, 0, 1), pad2(kr, 0, 0, 1, 0)),
+            jnp.minimum(pad2(kd, 0, 1, 0, 0), pad2(kd, 1, 0, 0, 0)))
+        node_key = jnp.minimum(node_key, jnp.minimum(
+            jnp.minimum(pad2(kdr, 0, 1, 0, 1), pad2(kdr, 1, 0, 1, 0)),
+            jnp.minimum(pad2(kdl, 0, 1, 1, 0), pad2(kdl, 1, 0, 0, 1))))
+        minkey = jax.ops.segment_min(node_key.reshape(-1), comp,
+                                     num_segments=n)
+        mine = jnp.where(minkey < big_w, minkey & ((1 << idx_bits) - 1),
+                         big_i)
+        has = mine < big_i
+        sel = jnp.clip(mine, 0, e - 1)
+        cu_e, cv_e = edge_labels(c2)
+        cuv = jnp.stack([cu_e, cv_e], 1)[sel]
+        iota = jnp.arange(n, dtype=jnp.int32)
+        other = jnp.where(cuv[:, 0] == iota, cuv[:, 1], cuv[:, 0])
+        parent = jnp.where(has, other, iota)
+        two_cycle = parent[parent] == iota
+        parent = jnp.where(two_cycle & (parent > iota), iota, parent)
+        mark = (has & (parent != iota)).astype(jnp.int32)
+        chosen = jnp.zeros((e,), jnp.int32).at[sel].max(mark, mode="drop")
+        in_mst = in_mst | (chosen > 0)
+        parent = _jump_to_root(parent)
+        return (parent[comp], in_mst)
+
+    def has_alive(state):
+        cu, cv = edge_labels(state[0].reshape(h, w))
+        return jnp.any(cu != cv)
+
+    comp, in_mst = jax.lax.while_loop(has_alive, round_body, (comp, in_mst))
+    return in_mst
 
 
 def _slot_masks(in_mst: jnp.ndarray, h: int, w: int):
     """[4, H, W] bool: node has a tree edge in slot s."""
     e_r = in_mst[: h * (w - 1)].reshape(h, w - 1)
-    e_d = in_mst[h * (w - 1):].reshape(w, h - 1).T   # down edges column-major
+    e_d = (in_mst[h * (w - 1): h * (w - 1) + w * (h - 1)]
+           .reshape(w, h - 1).T)                     # down edges column-major
     right = jnp.pad(e_r, ((0, 0), (0, 1)))
     left = jnp.pad(e_r, ((0, 0), (1, 0)))
     down = jnp.pad(e_d, ((0, 1), (0, 0)))
     up = jnp.pad(e_d, ((1, 0), (0, 0)))
     return jnp.stack([right, down, left, up])
+
+
+def _slot_masks8(in_mst: jnp.ndarray, h: int, w: int):
+    """[8, H, W] bool slot masks for the 8-neighbor edge list."""
+    four = _slot_masks(in_mst, h, w)
+    e_dg = in_mst[h * (w - 1) + w * (h - 1):].reshape(h - 1, w - 1, 2)
+    e_dr, e_dl = e_dg[..., 0], e_dg[..., 1]          # cell-indexed
+    dr = jnp.pad(e_dr, ((0, 1), (0, 1)))             # node (y,x): cell (y,x)
+    ul = jnp.pad(e_dr, ((1, 0), (1, 0)))             # cell (y-1,x-1)
+    dl = jnp.pad(e_dl, ((0, 1), (1, 0)))             # cell (y,x-1)
+    ur = jnp.pad(e_dl, ((1, 0), (0, 1)))             # cell (y-1,x)
+    return jnp.concatenate([four, jnp.stack([dr, dl, ul, ur])])
 
 
 def _rank_tour(is_edge: jnp.ndarray, succ: jnp.ndarray, nc: int,
@@ -243,10 +383,9 @@ def _rank_tour(is_edge: jnp.ndarray, succ: jnp.ndarray, nc: int,
     (earlier edge => smaller value; non-edges 0).
     """
     de = is_edge.shape[0]
-    n = de // 4
-    # old -> compact id: 2-level prefix sum ([H, 4W] rows + row offsets) —
-    # a flat 1-D cumsum over 4N elements hangs the TPU lowering
-    e2 = is_edge.astype(jnp.int32).reshape(h, 4 * w)
+    # old -> compact id: 2-level prefix sum ([H, S*W] rows + row offsets) —
+    # a flat 1-D cumsum over S*N elements hangs the TPU lowering
+    e2 = is_edge.astype(jnp.int32).reshape(h, de // h)
     c2 = jnp.cumsum(e2, axis=1)
     row_tot = c2[:, -1]
     offs = jnp.cumsum(row_tot) - row_tot
@@ -277,7 +416,8 @@ def _rank_tour(is_edge: jnp.ndarray, succ: jnp.ndarray, nc: int,
 
 
 def root_tree(in_mst: jnp.ndarray, wr: jnp.ndarray, wd: jnp.ndarray,
-              peels: int = 20, frame_h: int = None) -> RootedTree:
+              peels: int = 20, frame_h: int = None,
+              diag=None) -> RootedTree:
     """Orient the MST toward node 0: leaf peeling + core Euler ranking.
 
     ``frame_h``: for batched builds, the stacked plane holds one frame per
@@ -299,12 +439,21 @@ def root_tree(in_mst: jnp.ndarray, wr: jnp.ndarray, wd: jnp.ndarray,
     count allows (lax.cond; the full-size branch keeps worst-case — long
     path — trees correct). Both branches produce identical ranks, and the
     final parents are bit-identical to the unpeeled build.
+
+    ``diag``: (wdr, wdl) diagonal weight planes — switches to the
+    8-neighbor slot tables (in_mst then indexes :func:`_flatten_edges8`).
     """
     h, w = wr.shape[0], wr.shape[1] + 1
     n = h * w
-    slots = _slot_masks(in_mst, h, w)                 # [4,H,W]
+    if diag is None:
+        slots = _slot_masks(in_mst, h, w)             # [4,H,W]
+        slot_off, rev_slot = _SLOT_OFF, _REV_SLOT
+    else:
+        slots = _slot_masks8(in_mst, h, w)            # [8,H,W]
+        slot_off, rev_slot = _SLOT_OFF8, _REV_SLOT8
+    n_slots = len(slot_off)
     ids2 = jnp.arange(n, dtype=jnp.int32).reshape(h, w)
-    de = 4 * n
+    de = n_slots * n
 
     def shift2(x, dv, du, fill):
         pv0, pv1 = max(0, -dv), max(0, dv)
@@ -317,7 +466,14 @@ def root_tree(in_mst: jnp.ndarray, wr: jnp.ndarray, wd: jnp.ndarray,
     wd_p = jnp.pad(wd, ((0, 1), (0, 0)))
     wu_p = jnp.pad(wd, ((1, 0), (0, 0)))
     wplane = (wr_p, wd_p, wl_p, wu_p)                 # [H,W] weight per slot
-    nbr_ids = [shift2(ids2, dv, du, 0) for dv, du in _SLOT_OFF]
+    if diag is not None:
+        wdr, wdl = diag
+        wplane = wplane + (
+            jnp.pad(wdr, ((0, 1), (0, 1))),           # DR: cell (y, x)
+            jnp.pad(wdl, ((0, 1), (1, 0))),           # DL: cell (y, x-1)
+            jnp.pad(wdr, ((1, 0), (1, 0))),           # UL: cell (y-1, x-1)
+            jnp.pad(wdl, ((1, 0), (0, 1))))           # UR: cell (y-1, x)
+    nbr_ids = [shift2(ids2, dv, du, 0) for dv, du in slot_off]
 
     # --- phase 1: leaf peeling ---
     if frame_h is None:
@@ -334,10 +490,10 @@ def root_tree(in_mst: jnp.ndarray, wr: jnp.ndarray, wd: jnp.ndarray,
     def peel_round(_, state):                         # fori: one HLO body
         alive, parent2, weight2 = state
         ea = [slots[s] & shift2(alive, dv, du, False)
-              for s, (dv, du) in enumerate(_SLOT_OFF)]   # alive edge at slot
-        deg = (ea[0].astype(jnp.int32) + ea[1] + ea[2] + ea[3])
+              for s, (dv, du) in enumerate(slot_off)]    # alive edge at slot
+        deg = sum(ea[s].astype(jnp.int32) for s in range(n_slots))
         leaf = alive & notroot & (deg == 1)
-        for s in range(4):
+        for s in range(n_slots):
             pm = leaf & ea[s]
             parent2 = jnp.where(pm, nbr_st[s], parent2)
             weight2 = jnp.where(pm, wplane_st[s], weight2)
@@ -348,36 +504,36 @@ def root_tree(in_mst: jnp.ndarray, wr: jnp.ndarray, wd: jnp.ndarray,
 
     # core tree edges: both endpoints alive
     core = jnp.stack([slots[s] & alive & shift2(alive, dv, du, False)
-                      for s, (dv, du) in enumerate(_SLOT_OFF)])  # [4,H,W]
-    pres_t = core.reshape(4, n).T                     # [N,4]
+                      for s, (dv, du) in enumerate(slot_off)])  # [S,H,W]
+    pres_t = core.reshape(n_slots, n).T               # [N,S]
 
     # --- phase 2: Euler tour of the core ---
     # per-root start edge: the root's first present core slot (plane mask,
     # so every frame's tour is cut in the same pass)
     taken = jnp.zeros((h, w), jnp.bool_)
     is_start = []
-    for s in range(4):
+    for s in range(n_slots):
         is_start.append(roots2 & core[s] & ~taken)
         taken = taken | core[s]
 
     # successor for every potential directed edge (u, s): arrive at v,
-    # continue through v's next present slot after _REV_SLOT[s]; an edge
+    # continue through v's next present slot after rev_slot[s]; an edge
     # whose successor would be a tour start ends its tour instead
     succ, succ_start = [], []
-    for s, (dv, du) in enumerate(_SLOT_OFF):
-        r = _REV_SLOT[s]
+    for s, (dv, du) in enumerate(slot_off):
+        r = rev_slot[s]
         vid = nbr_ids[s]
         nxt = jnp.full((h, w), -1, jnp.int32)
         nst = jnp.zeros((h, w), jnp.bool_)
-        for k in (4, 3, 2, 1):                        # reverse priority: k=1 wins
-            cand = (r + k) % 4
+        for k in range(n_slots, 0, -1):               # reverse priority: k=1 wins
+            cand = (r + k) % n_slots
             pres_vc = shift2(core[cand], dv, du, False)
-            nxt = jnp.where(pres_vc, vid * 4 + cand, nxt)
+            nxt = jnp.where(pres_vc, vid * n_slots + cand, nxt)
             nst = jnp.where(pres_vc, shift2(is_start[cand], dv, du, False),
                             nst)
         succ.append(nxt.reshape(-1))
         succ_start.append(nst.reshape(-1))
-    succ = jnp.stack(succ, 1).reshape(de)             # [4N]
+    succ = jnp.stack(succ, 1).reshape(de)             # [S*N]
     succ_start = jnp.stack(succ_start, 1).reshape(de)
 
     iota = jnp.arange(de, dtype=jnp.int32)
@@ -396,12 +552,12 @@ def root_tree(in_mst: jnp.ndarray, wr: jnp.ndarray, wd: jnp.ndarray,
     # unique present slot s whose INCOMING direction (t->v) ranks earlier
     # than the outgoing (v->t) — the Euler tour enters v from its parent
     # first. Peeled nodes keep their phase-1 parents.
-    rank_nv = rank.reshape(n, 4)
+    rank_nv = rank.reshape(n, n_slots)
     parent = parent2.reshape(-1)
     weight = weight2.reshape(-1)
     big = jnp.int32(1 << 30)
-    for s, (dv, du) in enumerate(_SLOT_OFF):
-        r = _REV_SLOT[s]
+    for s, (dv, du) in enumerate(slot_off):
+        r = rev_slot[s]
         out_rank = rank_nv[:, s]                      # rank(v -> t)
         # rank(t -> v): slot-r rank plane shifted to the neighbor
         in_rank = shift2(rank_nv[:, r].reshape(h, w), dv, du, big).reshape(-1)
@@ -760,11 +916,18 @@ def _compact_round_body(euv, valid, c_cap: int):
 
 
 def build_tree(image: jnp.ndarray, prefilter: bool = True,
-               row_axis: str = None) -> RootedTree:
+               row_axis: str = None, neighbors: int = 4) -> RootedTree:
     """Full pipeline: image -> edge weights -> Borůvka -> rooted tree.
 
     ``row_axis``: distribute each Borůvka round's segment-min over row
-    bands of that mesh axis (see :func:`boruvka_mst`)."""
+    bands of that mesh axis (see :func:`boruvka_mst`).
+    ``neighbors``: 4 (default) or 8 — the reference's selectable edge
+    mode (qx_mst_kruskals_image.h:12,37); 8 adds the two diagonal edges
+    per cell and is served by the plain (non-contracted) Borůvka."""
+    if neighbors == 8:
+        wr, wd, wdr, wdl = grid_edge_weights8(image, prefilter)
+        in_mst = boruvka_mst8(wr, wd, wdr, wdl)
+        return root_tree(in_mst, wr, wd, diag=(wdr, wdl))
     wr, wd = grid_edge_weights(image, prefilter)
     h, w = wr.shape[0], wr.shape[1] + 1
     if row_axis is None and h * w >= 1 << 12:
@@ -805,7 +968,8 @@ def build_tree_batch(images: jnp.ndarray,
 
 
 def tree_filter(tree: RootedTree, values: jnp.ndarray, sigma: float = 0.1,
-                peels: int = 12, compute_dtype=None) -> jnp.ndarray:
+                peels: int = 12, compute_dtype=None,
+                neighbors: int = 4) -> jnp.ndarray:
     """Two-pass MST filter (qx_tree_filter.cpp:61-117), peel-structured.
 
     values: [N, D] (or [N]) per-node vectors. Similarity per node-parent
@@ -848,7 +1012,8 @@ def tree_filter(tree: RootedTree, values: jnp.ndarray, sigma: float = 0.1,
     if (peels > 0 and h * w == n
             and not os.environ.get("MYSM_NO_TREEPEEL")):
         out = _tree_filter_peeled(tree.parent, sim, x, h, w, peels,
-                                  compute_dtype=compute_dtype)
+                                  compute_dtype=compute_dtype,
+                                  neighbors=neighbors)
         return out[:, 0] if squeeze else out
     return _tree_filter_doubling(tree.parent, sim, x, squeeze)
 
@@ -900,7 +1065,8 @@ def _tree_filter_doubling(parent: jnp.ndarray, sim: jnp.ndarray,
 
 def _tree_filter_peeled(parent: jnp.ndarray, sim: jnp.ndarray,
                         x: jnp.ndarray, h: int, w: int,
-                        peels: int, compute_dtype=None) -> jnp.ndarray:
+                        peels: int, compute_dtype=None,
+                        neighbors: int = 4) -> jnp.ndarray:
     """Peel-structured two-pass filter over a grid tree/forest.
 
     parent: [N] grid-neighbor parents (roots self); sim: [N] with 0 at
@@ -931,16 +1097,18 @@ def _tree_filter_peeled(parent: jnp.ndarray, sim: jnp.ndarray,
                  pad[1][0] + du: pad[1][0] + du + w]
 
     # static tree-structure masks: parent direction / children directions
-    offs = {0: 1, 1: w, 2: -1, 3: -w}                  # slot -> id delta
-    par_slot = [(~is_root2) & (delta == offs[s]) for s in range(4)]
+    slot_off = _SLOT_OFF8 if neighbors == 8 else _SLOT_OFF
+    rev_slot = _REV_SLOT8 if neighbors == 8 else _REV_SLOT
+    offs = {s: dv * w + du for s, (dv, du) in enumerate(slot_off)}
+    par_slot = [(~is_root2) & (delta == offs[s]) for s in range(len(slot_off))]
     # node has a child at direction s iff the s-neighbor's parent slot
     # points back (reverse slot)
-    child = [shift2(par_slot[_REV_SLOT[s]], dv, du)
-             for s, (dv, du) in enumerate(_SLOT_OFF)]
+    child = [shift2(par_slot[rev_slot[s]], dv, du)
+             for s, (dv, du) in enumerate(slot_off)]
 
     simp = sim.reshape(h, w).astype(cdt)
     simv = [shift2(simp, dv, du)[..., None]            # sim of s-child edge
-            for s, (dv, du) in enumerate(_SLOT_OFF)]
+            for s, (dv, du) in enumerate(slot_off)]
 
     # --- up pass, peel phase (UNROLLED on purpose: a fori_loop version
     # measured 36 ms vs 20 ms — the loop carry blocks XLA from fusing the
@@ -950,12 +1118,12 @@ def _tree_filter_peeled(parent: jnp.ndarray, sim: jnp.ndarray,
     leaf_masks = []
     for _ in range(peels):
         has_child = jnp.zeros((h, w), jnp.bool_)
-        for s, (dv, du) in enumerate(_SLOT_OFF):
+        for s, (dv, du) in enumerate(slot_off):
             has_child = has_child | (child[s] & shift2(alive, dv, du))
         leaf = alive & ~is_root2 & ~has_child
         leaf_masks.append(leaf)
         # push finalized children into parents (slot order R, D, L, U)
-        for s, (dv, du) in enumerate(_SLOT_OFF):
+        for s, (dv, du) in enumerate(slot_off):
             m = child[s] & shift2(leaf, dv, du)
             V = V + jnp.where(m[..., None], simv[s] * shift2(V, dv, du), 0.0)
         alive = alive & ~leaf
@@ -980,7 +1148,7 @@ def _tree_filter_peeled(parent: jnp.ndarray, sim: jnp.ndarray,
     fac = (1.0 - simp * simp)[..., None]
     for leaf in reversed(leaf_masks):
         upd = jnp.zeros((h, w, d), cdt)
-        for s, (dv, du) in enumerate(_SLOT_OFF):
+        for s, (dv, du) in enumerate(slot_off):
             m = leaf & par_slot[s]
             upd = upd + jnp.where(m[..., None],
                                   simp[..., None] * shift2(S, dv, du), 0.0)

@@ -20,7 +20,8 @@ import jax.numpy as jnp
 from mystereomatching_tpu.ops.mst import RootedTree, build_tree, tree_filter
 
 
-def build_tree_host(image, prefilter: bool = True) -> RootedTree:
+def build_tree_host(image, prefilter: bool = True,
+                    neighbors: int = 4) -> RootedTree:
     """Hybrid tree build: MST + rooting on the HOST via the native C++
     runtime (counting-sort Kruskal + BFS — the reference's exact algorithm
     and tie order, qx_mst_kruskals_image.cpp:167-277); the tree filter
@@ -41,7 +42,7 @@ def build_tree_host(image, prefilter: bool = True) -> RootedTree:
     img8 = np.asarray(np.clip(np.round(img), 0, 255), np.uint8)
     if prefilter:
         img8 = native.median3x3(img8)
-    parent, weight, _order = native.mst_grid(img8)
+    parent, weight, _order = native.mst_grid(img8, neighbors=neighbors)
     return RootedTree(parent=jnp.asarray(parent, jnp.int32),
                       weight=jnp.asarray(weight, jnp.int32),
                       shape=(h, w))
@@ -50,7 +51,7 @@ def build_tree_host(image, prefilter: bool = True) -> RootedTree:
 def nl_aggregate(vol: jnp.ndarray, image: jnp.ndarray, sigma: float = 0.1,
                  prefilter: bool = True, normalize: bool = True,
                  tree: RootedTree = None,
-                 compute_dtype=None) -> jnp.ndarray:
+                 compute_dtype=None, neighbors: int = 4) -> jnp.ndarray:
     """NL aggregation of [D,H,W] volume guided by [H,W,3] image.
 
     ``tree``: optional precomputed rooted tree (the host-build hybrid path,
@@ -60,7 +61,7 @@ def nl_aggregate(vol: jnp.ndarray, image: jnp.ndarray, sigma: float = 0.1,
     fast mode; the tree build and normalization stay exact)."""
     d_, h, w = vol.shape
     if tree is None:
-        tree = build_tree(image, prefilter)
+        tree = build_tree(image, prefilter, neighbors=neighbors)
     flat = vol.reshape(d_, h * w).T                   # [N, D]
     if normalize:
         # the all-ones normalization volume rides as column D of the same
@@ -69,10 +70,12 @@ def nl_aggregate(vol: jnp.ndarray, image: jnp.ndarray, sigma: float = 0.1,
         # rounds instead of two
         vals = jnp.concatenate(
             [flat, jnp.ones((h * w, 1), jnp.float32)], axis=1)
-        f = tree_filter(tree, vals, sigma, compute_dtype=compute_dtype)
+        f = tree_filter(tree, vals, sigma, compute_dtype=compute_dtype,
+                        neighbors=neighbors)
         filt = f[:, :d_] / jnp.maximum(f[:, d_:], 1e-12)
     else:
-        filt = tree_filter(tree, flat, sigma, compute_dtype=compute_dtype)
+        filt = tree_filter(tree, flat, sigma, compute_dtype=compute_dtype,
+                           neighbors=neighbors)
     return filt.T.reshape(d_, h, w)
 
 
@@ -138,7 +141,7 @@ def detect_occlusion_lr(d_left: jnp.ndarray, d_right: jnp.ndarray) -> jnp.ndarra
 
 def nl_disparity(vol: jnp.ndarray, left: jnp.ndarray, right: jnp.ndarray,
                  sigma: float = 0.1, post_process: bool = True,
-                 trees=None, median_radius: int = 2):
+                 trees=None, median_radius: int = 2, neighbors: int = 4):
     """The standalone NL disparity flow, qx_nonlocal_cost_aggregation::
     disparity(..., use_nonlocal_post_processing) (NL/qx_nonlocal_cost_
     aggregation.cpp:72-109), device-resident end to end:
@@ -162,14 +165,14 @@ def nl_disparity(vol: jnp.ndarray, left: jnp.ndarray, right: jnp.ndarray,
     d_, h, w = vol.shape
     n = h * w
     if trees is None:
-        tree_l = build_tree(left)
-        tree_r = build_tree(right)
+        tree_l = build_tree(left, neighbors=neighbors)
+        tree_r = build_tree(right, neighbors=neighbors)
     else:
         tree_l, tree_r = trees
     k = 2 * median_radius + 1
 
     def filt_wta(v, tree, sig):
-        f = tree_filter(tree, v.reshape(d_, n).T, sig)
+        f = tree_filter(tree, v.reshape(d_, n).T, sig, neighbors=neighbors)
         d = jnp.argmin(f.T.reshape(d_, h, w), axis=0).astype(jnp.int32)
         return median_small(d, k)
 
@@ -187,7 +190,7 @@ def nl_disparity(vol: jnp.ndarray, left: jnp.ndarray, right: jnp.ndarray,
         shape=(2 * h, w))
     vals = jnp.concatenate([vol.reshape(d_, n).T,
                             flip_corr_vol(vol).reshape(d_, n).T])
-    filt = tree_filter(forest, vals, sigma)
+    filt = tree_filter(forest, vals, sigma, neighbors=neighbors)
     dmaps = jnp.argmin(jnp.stack([filt[:n], filt[n:]], 0)
                        .reshape(2, h, w, d_), axis=-1).astype(jnp.int32)
     d_l, d_r = median_small(dmaps, k)

@@ -315,7 +315,8 @@ def match_pair(left: jnp.ndarray, right: jnp.ndarray, cfg: MatchConfig,
                 RootedTree(parent=host_trees[i][0], weight=host_trees[i][1],
                            shape=left.shape[:2]) for i in (0, 1))
         d, d_raw = nl_ops.nl_disparity(vol, left, right, cfg.nl_sigma,
-                                       post_process=True, trees=trees)
+                                       post_process=True, trees=trees,
+                                       neighbors=cfg.nl_neighbors)
         return {"disparity": d.astype(jnp.float32), "disp_left_raw": d_raw}
     vols, arms_pair = compute_volumes(left, right, cfg, host_trees)
     if cfg.pyramid_levels > 1:
@@ -436,7 +437,8 @@ class StereoPipeline:
                            and self.cfg.do_lr_consis)) else 1
         trees = {}
         for lor, img in ((0, left), (1, right))[:n_imgs]:
-            t = build_tree_host(np.asarray(img))
+            t = build_tree_host(np.asarray(img),
+                                neighbors=self.cfg.nl_neighbors)
             trees[lor] = (t.parent, t.weight)
         return trees
 

@@ -231,3 +231,72 @@ def test_tree_filter_bf16_fast_mode():
     d16 = np.asarray(match_pair(p.left, p.right, b16)["disparity"])
     assert np.isfinite(d16).all()
     assert (d32 != d16).mean() < 0.02, "bf16 filter diverged"
+
+
+def test_boruvka8_weight_matches_kruskal(weights):
+    """8-neighbor mode (qx_mst_compute_edges_8neighbor cpp:71-86): device
+    Borůvka total weight == Kruskal with the reference's edge enumeration
+    and (weight, index) tie order."""
+    import jax.numpy as jnp
+    from mystereomatching_tpu.ops.mst import boruvka_mst8, _flatten_edges8
+
+    wr, wd = weights
+    h, w = wr.shape[0], wr.shape[1] + 1
+    r = np.random.default_rng(23)
+    wdr = r.integers(0, 40, (h - 1, w - 1)).astype(np.int32)
+    wdl = r.integers(0, 40, (h - 1, w - 1)).astype(np.int32)
+    args = tuple(jnp.asarray(x) for x in (wr, wd, wdr, wdl))
+    got_mask = np.asarray(boruvka_mst8(*args))
+    eu, ev, ew = (np.asarray(x) for x in _flatten_edges8(*args))
+    edges = [(int(eu[i]), int(ev[i]), int(ew[i])) for i in range(len(eu))]
+    want = _kruskal_oracle(edges, h * w)
+    assert got_mask.sum() == h * w - 1
+    got_weight = sum(e[2] for i, e in enumerate(edges) if got_mask[i])
+    want_weight = sum(edges[i][2] for i in want)
+    assert got_weight == want_weight
+    # with distinct (weight, index) keys the MST is unique edge-by-edge
+    assert set(np.flatnonzero(got_mask)) == want
+
+
+def test_host_tree_matches_device_tree_8nr(rng):
+    """nr_neighbor=8: host C++ Kruskal build == device Borůvka + Euler
+    rooting, parent and weight arrays bit-equal."""
+    import jax.numpy as jnp
+
+    from mystereomatching_tpu.ops.mst import build_tree
+    from mystereomatching_tpu.ops.nl import build_tree_host
+
+    img = jnp.asarray(rng.integers(0, 255, (19, 27, 3)), jnp.float32)
+    dev = build_tree(img, prefilter=False, neighbors=8)
+    host = build_tree_host(img, prefilter=False, neighbors=8)
+    np.testing.assert_array_equal(np.asarray(dev.parent),
+                                  np.asarray(host.parent))
+    np.testing.assert_array_equal(np.asarray(dev.weight),
+                                  np.asarray(host.weight))
+    # diagonal edges actually selectable: some parent is a diagonal neighbor
+    par = np.asarray(dev.parent)
+    w = 27
+    deltas = np.abs(par - np.arange(par.shape[0]))
+    assert np.any((deltas == w - 1) | (deltas == w + 1)), \
+        "8-neighbor tree never used a diagonal edge"
+
+
+def test_nl_8nr_pipeline_smoke(rng):
+    """nl_8nr preset end-to-end; 8-neighbor tree filter stays finite and
+    normalization-exact on a constant volume."""
+    import jax.numpy as jnp
+    from mystereomatching_tpu.ops.nl import nl_aggregate
+
+    img = jnp.asarray(rng.integers(0, 256, (14, 18, 3)), jnp.float32)
+    cvol = jnp.ones((3, 14, 18), jnp.float32) * 4.0
+    out = np.asarray(nl_aggregate(cvol, img, neighbors=8))
+    np.testing.assert_allclose(out, 4.0, rtol=1e-4)
+
+    from mystereomatching_tpu import models
+    from mystereomatching_tpu.data import make_synthetic_pair
+    from mystereomatching_tpu.pipeline import match_pair
+
+    p = make_synthetic_pair(h=48, w=64, max_disp=7, seed=3)
+    cfg = models.get_model("nl_8nr", max_disp=7)
+    d = np.asarray(match_pair(p.left, p.right, cfg)["disparity"])
+    assert np.isfinite(d).all()
