@@ -541,7 +541,12 @@ def root_tree(in_mst: jnp.ndarray, wr: jnp.ndarray, wd: jnp.ndarray,
     succ = jnp.where(succ_start, iota, succ)
     succ = jnp.where(is_edge, succ, iota)
 
-    nc_fast = max(64, (2 * n) // 4)
+    # rank cost is linear in the STATIC compact size (row-latency-bound
+    # gathers), so the cap tracks the measured core: ~16% of nodes remain
+    # after 20 peels on natural/synthetic images => ~0.32n directed core
+    # edges; 2n/6 holds that with margin, and pathological (path-shaped)
+    # trees fall through to the exact full-size branch
+    nc_fast = max(64, (2 * n) // int(os.environ.get("MYSM_RANK_DIV", "6")))
     cnt = jnp.sum(is_edge.astype(jnp.int32))
     rank = jax.lax.cond(
         cnt <= nc_fast,
@@ -689,21 +694,32 @@ def boruvka_mst_contracted(wr: jnp.ndarray, wd: jnp.ndarray) -> jnp.ndarray:
                          "use the host tree build for frames this large")
     wkey = (ew << idx_bits) | jnp.arange(e, dtype=jnp.int32)
 
-    # --- phase 1: r1 grid-space rounds ---
+    # --- phase 1: r1 grid-space rounds + a conditional top-up round ---
     # round 1 is special-cased (comp == identity makes every step plane
     # math; the only gathers left are the label-flattening jumps);
     # r1 chosen so the dense pair id a*c_cap+b fits int32
     r1 = 2
-    while (n >> r1) > 46340:
+    while (n >> (r1 + 1)) > 46340:
         r1 += 1
     state = _grid_round1(wr, wd, idx_bits)
     round_body = _grid_round_body(wr, wd, eu, ev, idx_bits)
     for _ in range(r1 - 1):
         state = round_body(state)
+    # cap tightening (round 4): every post-phase-1 row op (dedup sorts,
+    # cascade gathers/scatters) is latency-bound in its STATIC row count,
+    # and the worst-case bound n>>r1 over-provisions ~3-4x (measured
+    # components after 2 grid rounds: ~0.08n on natural/synthetic images
+    # vs the 0.25n bound). Size the cascade for n>>(r1+1) and, on the
+    # rare image that exceeds it, run ONE conditional extra grid round —
+    # components at least double per round, so the tight cap is then a
+    # true bound. Same unique MST either way.
+    iota_n = jnp.arange(n, dtype=jnp.int32)
+    cnt = jnp.sum((state[0] == iota_n).astype(jnp.int32))
+    c_cap = max(n >> (r1 + 1), 64)
+    state = jax.lax.cond(cnt <= c_cap, lambda s: s, round_body, state)
     comp, in_mst = state
 
     # --- phase 2: relabel components densely, contract edges ---
-    c_cap = n >> r1
     iota = jnp.arange(n, dtype=jnp.int32)
     is_root = (comp == iota).astype(jnp.int32)
     newc = _cumsum_flat(is_root) - 1                    # dense id at roots
@@ -968,7 +984,7 @@ def build_tree_batch(images: jnp.ndarray,
 
 
 def tree_filter(tree: RootedTree, values: jnp.ndarray, sigma: float = 0.1,
-                peels: int = 12, compute_dtype=None,
+                peels: int = 20, compute_dtype=None,
                 neighbors: int = 4) -> jnp.ndarray:
     """Two-pass MST filter (qx_tree_filter.cpp:61-117), peel-structured.
 
@@ -1132,7 +1148,11 @@ def _tree_filter_peeled(parent: jnp.ndarray, sim: jnp.ndarray,
     # live count allows; full-size branch for path-shaped trees) ---
     core = alive.reshape(-1)
     cnt = jnp.sum(core.astype(jnp.int32))
-    cap_fast = max(64, n // 3)
+    # core-doubling cost is linear in the STATIC cap (segment-sum +
+    # gather rows); ~16% of nodes survive 20 peels on natural/synthetic
+    # images, so n/5 holds the live core with margin — path-shaped trees
+    # fall through to the exact full-size branch
+    cap_fast = max(64, n // 5)
     flat = V.reshape(n, d).astype(jnp.float32)       # core doubling: f32
     up_full, down_full = jax.lax.cond(
         cnt <= cap_fast,
