@@ -95,6 +95,24 @@ def _grow_arms(img, anchor_sched, neigh_thresh, min_arm, directions):
     dirs = list(directions)
     arms = [None] * len(dirs)
 
+    if tuple(dirs) == DIRECTIONS:
+        from mystereomatching_tpu.ops import pallas_kernels as pk
+
+        if pk.tpu_backend():
+            # one VMEM-resident Pallas kernel per direction pair replaces
+            # the ~130 dispatched [H,W] ops of the tap chain below
+            # (bit-identical comparisons; interpret-mode parity in
+            # tests/test_pallas.py)
+            imgc = jnp.moveaxis(img, -1, 0)              # [3, H, W]
+            fwd_v, bwd_v = pk.arms_grow_pallas(imgc, anchor_sched,
+                                               neigh_thresh)
+            fwd_h, bwd_h = pk.arms_grow_pallas(jnp.swapaxes(imgc, 1, 2),
+                                               anchor_sched, neigh_thresh)
+            raw = (bwd_h.T, fwd_h.T, bwd_v, fwd_v)       # L, R, U, D
+            return jnp.stack([
+                jnp.maximum(raw[i], _border_floor(h, w, dv, du, min_arm))
+                for i, (dv, du) in enumerate(dirs)])
+
     def shift_bool(x, dv, du, k):
         if k == 0:
             return x

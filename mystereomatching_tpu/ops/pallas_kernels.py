@@ -241,7 +241,10 @@ def _sublane_pass(vol: jnp.ndarray, an: jnp.ndarray, ap: jnp.ndarray,
     """Arm-bounded reduction along axis 2 of vol [C, B, A, L]; arms [Ba, A, L]."""
     c, b, a, l = vol.shape
     ba = an.shape[0]
-    bt = min(l, 128)
+    # lane-tile width: 128 is the only width Mosaic accepts for the
+    # unaligned dynamic sublane taps (wider tiles fail "cannot statically
+    # prove index ... multiple of 8" — measured round 4)
+    bt = min(l, int(os.environ.get("MYSM_CBCA_BT", "128")))
     grid = (b, _cdiv(l, bt))
     c_out = 1 if div_pair else c
     vol_spec = pl.BlockSpec((c, 1, a, bt), lambda bi, t: (0, bi, 0, t),
@@ -853,6 +856,100 @@ def sgm_diag_scan_pallas(volT: jnp.ndarray, psT: jnp.ndarray, shift: int,
             transcendentals=0),
         interpret=interpret,
     )(volT, psT)
+
+
+def _arms_grow_kernel(img_ref, sched_ref, armf_ref, armb_ref, buf, dm, *,
+                      l_out: int, neigh_thresh: float, a: int):
+    """Cross-arm growth (judgeColorDif chain, calHorVerDis cpp:2959-3050)
+    for ONE opposite-direction pair along the sublane axis.
+
+    img_ref: [3, 1, A, B] f32 color block; sched_ref: [l_out, 1] SMEM f32
+    anchor thresholds (two-level / multilevel / adaptive schedules are
+    all data). Outputs: armf/armb [1, A, B] int32 arm lengths toward
+    +axis / -axis. buf: [3, 1, A + 2P, B] PAD_FAIL-padded image scratch
+    (P = l_out + 1); dm: [1, 1, A + 2P, B] f32 0/1 step-1 neighbor mask
+    on the padded domain (dm[y] tests rows y <-> y+1; pad rows
+    auto-fail). The rank-4 [C, 1, A, B] layout matches the CBCA taps
+    kernel — Mosaic accepts unaligned dynamic sublane starts there but
+    rejects the rank-3 [C, A, B] form ("index in dimension 1 is a
+    multiple of 8").
+
+    The XLA formulation runs ~6 [H,W]-sized ops per (k, direction) from
+    HBM (~130 dispatched ops/image); here the whole tap chain stays in
+    VMEM — identical comparisons, bit-identical arm counts.
+    """
+    p = l_out + 1
+    pad = jnp.float32(10000.0)                 # arms._PAD_FAIL
+    buf[:, :, :p, :] = jnp.full_like(buf[:, :, :p, :], pad)
+    buf[:, :, p + a:, :] = jnp.full_like(buf[:, :, p + a:, :], pad)
+    buf[:, :, p:p + a, :] = img_ref[:]
+    d1 = jnp.max(jnp.abs(buf[:, :, 1:, :] - buf[:, :, :-1, :]), axis=0,
+                 keepdims=True)
+    dm[:, :, :-1, :] = (d1 <= neigh_thresh).astype(jnp.float32)
+    dm[:, :, -1:, :] = jnp.zeros_like(dm[:, :, -1:, :])
+
+    ctr = buf[:, :, pl.ds(p, a), :]            # loop-invariant center rows
+    ones = jnp.ones((1, a, img_ref.shape[3]), jnp.int32)
+
+    def body(k, st):
+        alive_f, alive_b, arm_f, arm_b = st
+        th = sched_ref[k - 1, 0]
+        fwd = buf[:, :, pl.ds(p + k, a), :]
+        bwd = buf[:, :, pl.ds(p - k, a), :]
+        f_ok = (jnp.max(jnp.abs(fwd - ctr), axis=0) <= th).astype(jnp.int32)
+        b_ok = (jnp.max(jnp.abs(bwd - ctr), axis=0) <= th).astype(jnp.int32)
+        # step-1 chain: d1ok at p+(k-1)a (fwd) / p-ka (bwd), see arms.py
+        dp = dm[0, :, pl.ds(p + k - 1, a), :].astype(jnp.int32)
+        dn = dm[0, :, pl.ds(p - k, a), :].astype(jnp.int32)
+        alive_f = alive_f & f_ok & dp
+        alive_b = alive_b & b_ok & dn
+        return (alive_f, alive_b, arm_f + alive_f, arm_b + alive_b)
+
+    _, _, arm_f, arm_b = jax.lax.fori_loop(
+        1, l_out + 1, body, (ones, ones, ones * 0, ones * 0))
+    armf_ref[:] = arm_f
+    armb_ref[:] = arm_b
+
+
+def arms_grow_pallas(img3: jnp.ndarray, sched, neigh_thresh: float,
+                     interpret: bool = False):
+    """Arm growth for one direction pair along axis 1 of img3 [3, A, B].
+
+    Returns (arm_fwd, arm_bwd) int32 [A, B] — identical to the XLA
+    _grow_arms chain for directions (+axis1, -axis1). Callers transpose
+    for the horizontal pair and map fwd/bwd onto the reference's
+    direction slots."""
+    _, a, b = img3.shape
+    l_out = len(sched)
+    sched_arr = jnp.asarray(sched, jnp.float32).reshape(l_out, 1)
+    # lane tiles wider than 128 break Mosaic's unaligned dynamic sublane
+    # loads ("cannot statically prove index ... multiple of 8") — measured
+    # on-chip; 128 is the supported width for pl.ds tap kernels
+    bt = min(_cdiv(b, 128) * 128, 128)
+    grid = (_cdiv(b, bt),)
+    img_spec = pl.BlockSpec((3, 1, a, bt), lambda t: (0, 0, 0, t),
+                            memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((1, a, bt), lambda t: (0, 0, t),
+                            memory_space=pltpu.VMEM)
+    armf, armb = pl.pallas_call(
+        functools.partial(_arms_grow_kernel, l_out=l_out,
+                          neigh_thresh=float(neigh_thresh), a=a),
+        grid=grid,
+        in_specs=[img_spec,
+                  pl.BlockSpec((l_out, 1), lambda t: (0, 0),
+                               memory_space=pltpu.SMEM)],
+        out_specs=(out_spec, out_spec),
+        out_shape=(jax.ShapeDtypeStruct((1, a, b), jnp.int32),
+                   jax.ShapeDtypeStruct((1, a, b), jnp.int32)),
+        scratch_shapes=[
+            pltpu.VMEM((3, 1, a + 2 * (l_out + 1), bt), jnp.float32),
+            pltpu.VMEM((1, 1, a + 2 * (l_out + 1), bt), jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            flops=3 * a * b * l_out * 8, bytes_accessed=3 * a * b * 8,
+            transcendentals=0),
+        interpret=interpret,
+    )(img3.astype(jnp.float32)[:, None], sched_arr)
+    return armf[0], armb[0]
 
 
 def arm_bounded_sum_pallas(

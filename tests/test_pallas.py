@@ -283,3 +283,31 @@ def test_sgm_scan_pallas_g_block(rng):
         got = sgm_scan_pallas(vol, ps, reverse=rev, interpret=True,
                               g_block=2)
         np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_arms_grow_pallas_interpret(rng):
+    """Pallas arm-growth kernel (interpret mode) == XLA _grow_arms chain,
+    for the two-level, multilevel and adaptive schedules."""
+    import jax.numpy as jnp
+    import numpy as np
+    from mystereomatching_tpu.ops import arms as A
+    from mystereomatching_tpu.ops import pallas_kernels as pk
+
+    img = jnp.asarray(rng.integers(0, 256, (41, 53, 3)), jnp.float32)
+    for sched, thr in (
+            ([20 if k <= 5 else 6 for k in range(1, 10)], 20),       # two-level
+            ([20, 20, 30, 30, 30, 0, 0], 20),                        # multilevel-ish
+            ([int(20 - 20 / 5 * k + 10) if k <= 5 else 6
+              for k in range(1, 9)], 20),                            # adaptive
+    ):
+        want = A._grow_arms(img, sched, thr, 1, A.DIRECTIONS)
+        imgc = jnp.moveaxis(img, -1, 0)
+        fwd_v, bwd_v = pk.arms_grow_pallas(imgc, sched, thr, interpret=True)
+        fwd_h, bwd_h = pk.arms_grow_pallas(jnp.swapaxes(imgc, 1, 2), sched,
+                                           thr, interpret=True)
+        h, w = img.shape[:2]
+        raw = (bwd_h.T, fwd_h.T, bwd_v, fwd_v)
+        got = jnp.stack([
+            jnp.maximum(raw[i], A._border_floor(h, w, dv, du, 1))
+            for i, (dv, du) in enumerate(A.DIRECTIONS)])
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
