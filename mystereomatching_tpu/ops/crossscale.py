@@ -51,19 +51,23 @@ def reg_inverse_weights(n_levels: int, reg_lambda: float = 0.3) -> np.ndarray:
     return np.linalg.inv(m)[0].astype(np.float32)
 
 
-def solve_all(volumes: Sequence[jnp.ndarray], reg_lambda: float = 0.3) -> jnp.ndarray:
+def solve_all(volumes: Sequence[jnp.ndarray], reg_lambda: float = 0.3,
+              row0=0) -> jnp.ndarray:
     """Cross-scale fusion at the finest level (SolveAll cpp:2142-2208).
 
     volumes: per-level [D_s, H_s, W_s] cost volumes (level 0 finest).
     Each finer-level entry (d, y, x) accumulates invWgt[s] * cost at
     (ceil-chain d, y/2^s, x/2^s) — the exact index chain curY/=2,
     curD=(curD+1)/2 of the reference.
+
+    row0: global row index of volumes[0]'s first row — the sharded band
+    path fuses a local finest band against replicated full coarse levels.
     """
     wgt = reg_inverse_weights(len(volumes), reg_lambda)
     d0, h0, w0 = volumes[0].shape
     out = wgt[0] * volumes[0]
 
-    ys = jnp.arange(h0, dtype=jnp.int32)
+    ys = row0 + jnp.arange(h0, dtype=jnp.int32)
     xs = jnp.arange(w0, dtype=jnp.int32)
     ds = jnp.arange(d0, dtype=jnp.int32)
     cy, cx, cd = ys, xs, ds

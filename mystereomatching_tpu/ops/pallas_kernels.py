@@ -108,6 +108,73 @@ def _taps_kernel(vol_ref, an_ref, ap_ref, out_ref, buf, *, max_arm: int,
         out_ref[:] = res.astype(out_ref.dtype)
 
 
+def _taps_kernel_clones(vol_ref, an_ref, ap_ref, out_ref, buf, *,
+                        max_arm: int, op: str, div_pair: bool = False,
+                        seg: int = 64):
+    """Aligned-clone variant of :func:`_taps_kernel` — same tap ORDER, so
+    results are bit-identical; only the addressing differs.
+
+    Round-4 measurement: the unaligned dynamic sublane slice is ~90% of
+    the tap kernel's cost (fixed-offset probe 0.092 ms vs 0.496 ms/pass at
+    Teddy scale) — Mosaic lowers each unaligned ``pl.ds`` read through a
+    full-array sublane relayout. This kernel pre-builds 8 sublane-rotated
+    copies of the identity-padded block (``buf[r][x] = padded[x + r]``), so
+    tap k reads clone ``k % 8`` at a PROVABLY 8-aligned offset — pure
+    addressing. The 8 rolls are paid once per block instead of a relayout
+    per tap, and alignment also unlocks lane tiles wider than 128 (the
+    unaligned path rejects them).
+
+    ``seg``: the adaptive trip count (kmax) is evaluated per ``seg``-row
+    segment of the reduction axis instead of over the whole block — arms
+    are short and local (bench-scene mean ~1), so most segments run far
+    fewer taps than the block max.
+    """
+    combine, ident_of = _REDUCE_OPS[op]
+    cdt = jnp.float32 if jnp.issubdtype(vol_ref.dtype, jnp.floating) else jnp.int32
+    ident = jnp.asarray(ident_of(cdt), cdt)
+    m8 = _cdiv(max_arm, 8) * 8 + 8
+    a = vol_ref.shape[2]
+    c = vol_ref.shape[0]
+    ap_len = buf.shape[3]
+    v = vol_ref[:].astype(cdt)
+    pad = jnp.full((c, 1, m8, v.shape[3]), ident, cdt)
+    padded = jnp.concatenate([pad, v, pad], axis=2)
+    if padded.shape[2] < ap_len:
+        padded = jnp.concatenate(
+            [padded, jnp.full((c, 1, ap_len - padded.shape[2], v.shape[3]),
+                              ident, cdt)], axis=2)
+    for r in range(8):
+        buf[r] = padded if r == 0 else pltpu.roll(padded, ap_len - r, 2)
+    an_all = an_ref[:].astype(jnp.int32)[None]
+    ap_all = ap_ref[:].astype(jnp.int32)[None]
+
+    for s0 in range(0, a, seg):
+        sl = min(seg, a - s0)
+        an = an_all[:, :, s0:s0 + sl, :]
+        ap = ap_all[:, :, s0:s0 + sl, :]
+        acc0 = v[:, :, s0:s0 + sl, :]
+        fill = jnp.full_like(acc0, ident)
+        kmax = jnp.maximum(jnp.max(an), jnp.max(ap))
+
+        def body(k, acc, sl=sl, s0=s0, an=an, ap=ap, fill=fill):
+            r = jax.lax.rem(k, 8)
+            fwd = buf[r, :, :,
+                      pl.ds(pl.multiple_of(m8 + s0 + k - r, 8), sl), :]
+            r2 = jax.lax.rem(8 - r, 8)
+            bwd = buf[r2, :, :,
+                      pl.ds(pl.multiple_of(m8 + s0 - k - r2, 8), sl), :]
+            acc = combine(acc, jnp.where(ap >= k, fwd, fill))
+            acc = combine(acc, jnp.where(an >= k, bwd, fill))
+            return acc
+
+        res = jax.lax.fori_loop(1, jnp.minimum(kmax, m8) + 1, body, acc0)
+        if div_pair:
+            out_ref[:, :, s0:s0 + sl, :] = (
+                res[:1] / jnp.maximum(res[1:], 1.0)).astype(out_ref.dtype)
+        else:
+            out_ref[:, :, s0:s0 + sl, :] = res.astype(out_ref.dtype)
+
+
 def sublane_pass_fits(c: int, a: int, max_arm: int) -> bool:
     """Whether the arm-taps kernel's full-axis block (+f32 scratch/temps)
     fits scoped VMEM. Beyond this, callers use the windowed-lookahead
@@ -238,13 +305,37 @@ def sublane_pass_auto(vol: jnp.ndarray, an: jnp.ndarray, ap: jnp.ndarray,
 def _sublane_pass(vol: jnp.ndarray, an: jnp.ndarray, ap: jnp.ndarray,
                   max_arm: int, interpret: bool = False,
                   op: str = "sum", div_pair: bool = False) -> jnp.ndarray:
-    """Arm-bounded reduction along axis 2 of vol [C, B, A, L]; arms [Ba, A, L]."""
+    """Arm-bounded reduction along axis 2 of vol [C, B, A, L]; arms [Ba, A, L].
+
+    Default kernel: aligned-clone taps (:func:`_taps_kernel_clones`,
+    bit-identical to the unaligned-tap kernel; ~1.5x at Teddy scale).
+    MYSM_CBCA_TAPS=1 restores the round-3 unaligned kernel for A/B."""
     c, b, a, l = vol.shape
     ba = an.shape[0]
-    # lane-tile width: 128 is the only width Mosaic accepts for the
-    # unaligned dynamic sublane taps (wider tiles fail "cannot statically
-    # prove index ... multiple of 8" — measured round 4)
-    bt = min(l, int(os.environ.get("MYSM_CBCA_BT", "128")))
+    use_clones = not os.environ.get("MYSM_CBCA_TAPS")
+    if use_clones:
+        m8 = _cdiv(max_arm, 8) * 8 + 8
+        ap_len = _cdiv(a + 2 * m8, 8) * 8
+        # widest lane tile whose clone scratch + double-buffered blocks fit
+        # scoped VMEM (~10MB): 8 clones of [c, ap_len] + ~4 live [c, a]
+        bt = int(os.environ.get("MYSM_CBCA_BT", "0"))
+        if not bt:
+            bt = min(512, _cdiv(l, 128) * 128)
+            while bt > 128 and (8 * c * ap_len + 6 * c * a) * bt * 4 > 10 * 2**20:
+                bt -= 128
+        bt = min(_cdiv(l, 128) * 128, bt)
+        seg = int(os.environ.get("MYSM_CBCA_SEG", "64"))
+        kern = functools.partial(_taps_kernel_clones, max_arm=max_arm, op=op,
+                                 div_pair=div_pair, seg=seg)
+        scratch_shape = (8, c, 1, ap_len, bt)
+    else:
+        # lane-tile width: 128 is the only width Mosaic accepts for the
+        # unaligned dynamic sublane taps (wider tiles fail "cannot
+        # statically prove index ... multiple of 8" — measured round 4)
+        bt = min(l, int(os.environ.get("MYSM_CBCA_BT", "128")))
+        kern = functools.partial(_taps_kernel, max_arm=max_arm, op=op,
+                                 div_pair=div_pair)
+        scratch_shape = (c, 1, a + 2 * max_arm, bt)
     grid = (b, _cdiv(l, bt))
     c_out = 1 if div_pair else c
     vol_spec = pl.BlockSpec((c, 1, a, bt), lambda bi, t: (0, bi, 0, t),
@@ -254,8 +345,6 @@ def _sublane_pass(vol: jnp.ndarray, an: jnp.ndarray, ap: jnp.ndarray,
     arm_spec = pl.BlockSpec((1, a, bt),
                             lambda bi, t: (bi if ba != 1 else 0, 0, t),
                             memory_space=pltpu.VMEM)
-    kern = functools.partial(_taps_kernel, max_arm=max_arm, op=op,
-                             div_pair=div_pair)
     sdt = jnp.float32 if jnp.issubdtype(vol.dtype, jnp.floating) else jnp.int32
     return pl.pallas_call(
         kern,
@@ -263,7 +352,7 @@ def _sublane_pass(vol: jnp.ndarray, an: jnp.ndarray, ap: jnp.ndarray,
         in_specs=[vol_spec, arm_spec, arm_spec],
         out_specs=out_spec,
         out_shape=jax.ShapeDtypeStruct((c_out,) + vol.shape[1:], vol.dtype),
-        scratch_shapes=[pltpu.VMEM((c, 1, a + 2 * max_arm, bt), sdt)],
+        scratch_shapes=[pltpu.VMEM(scratch_shape, sdt)],
         cost_estimate=pl.CostEstimate(
             flops=vol.size * (4 * max_arm + 1),
             bytes_accessed=vol.size * 8 + an.size * 8,

@@ -367,7 +367,6 @@ def rv_combine_bg(disp: jnp.ndarray, arms: jnp.ndarray,
     pass is naturally parallel. Sentinels other than OCC/MIS are left
     unchanged under types 2/3 (the reference leaks the previous pixel's
     dp_ into them — a read-of-stale-local bug we do not reproduce)."""
-    inval = disp < 0
     rv = None
     if interpolate_type in (0, 2, 3):
         rv = region_vote_core(disp, arms, arms_tilt, num_disp, s_thres,
@@ -378,7 +377,14 @@ def rv_combine_bg(disp: jnp.ndarray, arms: jnp.ndarray,
             bg = bg_fill_4dir(disp, image, bg_depth)
         else:
             bg, _ = bg_fill_2dir(disp, bg_depth, num_disp)
+    return rv_bg_policy(disp, rv, bg, interpolate_type, disp_occ, disp_mis)
 
+
+def rv_bg_policy(disp, rv, bg, interpolate_type: int,
+                 disp_occ: int = -32, disp_mis: int = -48) -> jnp.ndarray:
+    """Pointwise fill policy of RV_combine_BG (cpp:7160-7213); split out so
+    the sharded band path can feed band-local rv/bg maps."""
+    inval = disp < 0
     if interpolate_type == 0:
         fill = jnp.where(inval, rv, -1)
     elif interpolate_type == 1:

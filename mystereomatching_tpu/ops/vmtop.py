@@ -61,11 +61,14 @@ _NEIGH = ((0, -1), (-1, 0), (0, 1), (1, 0), (-1, -1), (1, 1), (-1, 1), (1, -1))
 
 def disp_from_top_method0(
     cand_d: jnp.ndarray, cand_c: jnp.ndarray, count: jnp.ndarray,
-    cfg: MatchConfig, n_iters: int = 2,
+    cfg: MatchConfig, n_iters: int = 2, v_coords=None,
 ) -> jnp.ndarray:
     """Method 0 vote (cpp:1518-1781), Jacobi-iterated.
 
     cand_d/cand_c: [M,H,W]; count: [H,W] number of valid candidates.
+    v_coords: optional [H] GLOBAL row indices (the sharded band path runs
+    this on a halo-extended band; the first-row keep-candidate-0 rule
+    follows the true image row).
     """
     m, h, w = cand_d.shape
     ts = cfg.vmtop_ts
@@ -130,7 +133,7 @@ def disp_from_top_method0(
         multi = count > 1
         new_disp = jnp.where(multi, jnp.where(any_cont, case3, case2), cand_d[0])
         # first row/col keep candidate 0 (cpp:1541)
-        vv = jnp.arange(h)[:, None]
+        vv = (jnp.arange(h) if v_coords is None else v_coords)[:, None]
         uu = jnp.arange(w)[None, :]
         disp = jnp.where((vv == 0) | (uu == 0), cand_d[0], new_disp)
     return disp

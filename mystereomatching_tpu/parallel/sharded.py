@@ -49,8 +49,10 @@ def _cost_halo(cfg: MatchConfig) -> int:
         h = max(h, cfg.arm_l_out + 1)           # adaptive weight needs arms
     if cfg.aggregation == "cbca":
         # each iteration's V pass reaches l_out; arms reach l_out beyond that
-        h = max(h, cfg.cbca_iterations * cfg.arm_l_out
-                + cfg.arm_l_out + cfg.census_rv + 1)
+        la = cfg.arm_l_out
+        if cfg.cbca_double_win:
+            la = max(la, cfg.window1().arm_l_out)
+        h = max(h, cfg.cbca_iterations * la + la + cfg.census_rv + 1)
     if cfg.aggregation == "bf":
         h = max(h, cfg.bf_radius + 1)
     if cfg.do_refine and (cfg.do_region_vote or cfg.do_rv_whole_image):
@@ -334,13 +336,40 @@ def _match_pair_band(left, right, cfg: MatchConfig, n_chunks: int,
                                                arms=arms_pair[lor],
                                                grad_y_pair=gy_pair)
             if cfg.aggregation == "cbca":
+                from mystereomatching_tpu.ops.aggregation import cbca
+
+                vol2 = None
+                if cfg.cbca_double_win:
+                    # double-window CBCA (cpp:4337-4357): large-window pass
+                    # on the raw volume; arms rebuilt at index-1 params on
+                    # the same halo-extended band
+                    w1 = cfg.window1()
+                    arms2 = tuple(
+                        _true_border_arm_clamp(arms_ops.build_arms(img, w1),
+                                               halo, w1.cbca_min_arm)
+                        for img in (left_ext, right_ext))
+                    arms2_int = arms_ops.intersect_arms(
+                        arms2[0], arms2[1], cfg.num_disp, lor)
+                    vol2 = cbca(vol, arms2_int, cfg.cbca_iterations,
+                                max_arm=w1.arm_l_out)
                 arms_int = arms_ops.intersect_arms(arms_pair[0],
                                                    arms_pair[1],
                                                    cfg.num_disp, lor)
-                from mystereomatching_tpu.ops.aggregation import cbca
-
                 vol = cbca(vol, arms_int, cfg.cbca_iterations,
                            max_arm=cfg.arm_l_out)
+                if vol2 is not None:
+                    from mystereomatching_tpu.ops import combine as comb_ops
+
+                    # pointwise merges (cpp:4283-4331) on the extended band
+                    if cfg.cbca_combine == 1:
+                        vol = comb_ops.combine2vm_pkr(vol, vol2)
+                    elif cfg.cbca_combine == 2:
+                        vol = comb_ops.combine2vm_arm_limit(
+                            vol, vol2, arms_pair[lor])
+                    elif cfg.cbca_combine == 3:
+                        vol = comb_ops.combine2vm_min(vol, vol2)
+                    else:
+                        vol = comb_ops.combine2vm_4(vol, vol2, arms_pair[0])
             elif cfg.aggregation == "bf":
                 from mystereomatching_tpu.ops.aggregation import (
                     box_filter_volume)
@@ -351,24 +380,39 @@ def _match_pair_band(left, right, cfg: MatchConfig, n_chunks: int,
                     f"sharded aggregation {cfg.aggregation!r} not supported")
         vols[lor] = crop_rows(vol, halo, row_axis=1)
 
+    if cfg.pyramid_levels > 1:
+        vols = _crossscale_band(vols, left, right, cfg)
+
     # --- optimization (mirrors pipeline.optimize) ---
     images = {0: left, 1: right}
     if cfg.optimization == "sgm":
         for lor in vols:
             vols[lor] = _sgm_sharded(vols[lor], images[lor], cfg, n_chunks)
-    if 1 in vols:
-        dl = wta_ops.wta(vols[0], cfg.choose_small)
-        dr = wta_ops.wta(vols[1], cfg.choose_small)
-    elif cfg.do_refine and cfg.do_lr_consis:
-        # cooperative WTA from the left volume (wta_Co): row-local, exact
-        dl, dr = wta_ops.wta_pair_cooperative(vols[0], cfg.choose_small)
+    if cfg.optimization == "so":
+        # SO's per-row DP + backtrace run along W — row-local by
+        # construction (cpp:6272-6416; disc map is a column roll)
+        from mystereomatching_tpu.ops import so as so_ops
+
+        dl = so_ops.scanline_optimize(vols[0], left, cfg)
+        dr = (so_ops.scanline_optimize(vols[1], right, cfg)
+              if 1 in vols else None)
+    elif cfg.do_vmtop:
+        dl = _vmtop_band(vols[0], left, cfg)
+        dr = _vmtop_band(vols[1], right, cfg) if 1 in vols else None
     else:
-        dl = wta_ops.wta(vols[0], cfg.choose_small)
-        dr = None
-    if cfg.uniq_check:
-        # UniqCk (wta_Co cpp:2763-2775): pointwise over the band's volume
-        bad = wta_ops.uniqueness_mask(vols[0], dl, cfg.uniqueness_ratio)
-        dl = jnp.where(bad, cfg.disp_inv, dl)
+        if 1 in vols:
+            dl = wta_ops.wta(vols[0], cfg.choose_small)
+            dr = wta_ops.wta(vols[1], cfg.choose_small)
+        elif cfg.do_refine and cfg.do_lr_consis:
+            # cooperative WTA from the left volume (wta_Co): row-local
+            dl, dr = wta_ops.wta_pair_cooperative(vols[0], cfg.choose_small)
+        else:
+            dl = wta_ops.wta(vols[0], cfg.choose_small)
+            dr = None
+        if cfg.uniq_check:
+            # UniqCk (wta_Co cpp:2763-2775): pointwise over the band
+            bad = wta_ops.uniqueness_mask(vols[0], dl, cfg.uniqueness_ratio)
+            dl = jnp.where(bad, cfg.disp_inv, dl)
 
     if not cfg.do_refine:
         from mystereomatching_tpu.pipeline import apply_sub_ipol
@@ -396,13 +440,27 @@ def _match_pair_band(left, right, cfg: MatchConfig, n_chunks: int,
     arms0 = (crop_rows(arms_pair[0], halo - hr, row_axis=1)
              if arms_pair[0] is not None else None)
     if cfg.do_region_vote:
+        arms_tilt0 = None
+        if cfg.rv_use_combine_bg and cfg.reg_vote_type > 0:
+            # tilted arms (calTileDis cpp:3362-3443) on the halo-extended
+            # band; every tilt direction has a vertical component, so all
+            # four are clamped to the true picture borders
+            arms_tilt0 = crop_rows(
+                _true_border_tilt_clamp(
+                    arms_ops.build_arms(left_ext, cfg,
+                                        directions=arms_ops.TILT_DIRECTIONS),
+                    halo, cfg.cbca_min_arm), halo - hr, row_axis=1)
         for _ in range(cfg.region_vote_iters):
-            d_ext = exchange_rows(d, hr, row_axis=0, pad_mode=-1)
-            d_ext = refine_ops.region_vote(d_ext, arms0, cfg.num_disp,
-                                           cfg.rv_s_thres, cfg.rv_h_ratio,
-                                           cfg.rv_int_ratio_quirk,
-                                           max_arm=cfg.arm_l_out)
-            d = crop_rows(d_ext, hr, row_axis=0)
+            if cfg.rv_use_combine_bg:
+                d = _rv_combine_bg_band(d, arms0, arms_tilt0, left, cfg, hr)
+            else:
+                d_ext = exchange_rows(d, hr, row_axis=0, pad_mode=-1)
+                d_ext = refine_ops.region_vote(d_ext, arms0, cfg.num_disp,
+                                               cfg.rv_s_thres,
+                                               cfg.rv_h_ratio,
+                                               cfg.rv_int_ratio_quirk,
+                                               max_arm=cfg.arm_l_out)
+                d = crop_rows(d_ext, hr, row_axis=0)
     if cfg.do_proper_ipol:
         hp = 2 * cfg.pi_search_depth
         li_ext = exchange_rows(left, hp, row_axis=0, pad_mode="edge")
@@ -413,7 +471,14 @@ def _match_pair_band(left, right, cfg: MatchConfig, n_chunks: int,
                                                     cfg.disp_occ)
             d = crop_rows(d_ext, hp, row_axis=0)
     if cfg.do_bg_ipol:
-        d = refine_ops.bg_interpolation(d, cfg.num_disp)          # row-local
+        if cfg.bg_ipol_kitti:
+            # column extrapolation crosses row bands; the map is [H, W] —
+            # gather it (negligible next to volume traffic, like _da_band)
+            d = _gathered_map_band(
+                d, lambda df: refine_ops.interpolate_background_kitti(
+                    df, cfg.ipol_threshold), stage="kitti_bg")
+        else:
+            d = refine_ops.bg_interpolation(d, cfg.num_disp)      # row-local
     if cfg.do_wm:
         # weighted median: fixed wm_win halo; the dense kernel's _shift2d
         # border fills (-1 disp / 1e4 color / False mask) are reproduced at
@@ -500,36 +565,165 @@ def _da_band(d: jnp.ndarray, vol: jnp.ndarray, cfg: MatchConfig,
     return jnp.where((g == 0) | (g == hg - 1), d, out)
 
 
+def _gathered_map_band(d: jnp.ndarray, fn, stage: str,
+                       axis_name: str = "row") -> jnp.ndarray:
+    """Run an image-global [H, W]-map stage on the all_gathered full map
+    and slice this band's rows back out. Bit-exact by construction; the
+    [H, W] gather is negligible next to volume traffic (same pattern as
+    _da_band's edge map)."""
+    from mystereomatching_tpu.parallel.counters import note_all_gather
+
+    h = d.shape[0]
+    idx = lax.axis_index(axis_name)
+    note_all_gather(d, lax.axis_size(axis_name), stage=stage)
+    d_full = lax.all_gather(d, axis_name, axis=0, tiled=True)
+    out = fn(d_full)
+    return lax.dynamic_slice(out, (idx * h,) + (0,) * (out.ndim - 1),
+                             (h,) + out.shape[1:])
+
+
+def _vmtop_band(vol: jnp.ndarray, image: jnp.ndarray, cfg: MatchConfig,
+                axis_name: str = "row") -> jnp.ndarray:
+    """vmTop (cpp:1514-1885) on a row band, bit-exact vs dense.
+
+    Candidate extraction is pointwise over D (band-local). Method 0's
+    Jacobi vote reaches 1 row per iteration — candidates get an
+    n_iters-row halo whose true-border pads equal the dense _shift2d
+    fills (cand -1 / cost 0 / count 0 -> all-invalid), and the
+    keep-candidate-0 border rule follows the GLOBAL row index. Methods
+    1/2 are column scans along W — row-local as-is."""
+    from mystereomatching_tpu.ops import vmtop as vmtop_ops
+
+    cand_d, cand_c, count = vmtop_ops.select_top_costs(
+        vol, max(cfg.vmtop_num, 2), cfg.vmtop_thres)
+    method = cfg.vmtop_method
+    if method == 1:
+        return vmtop_ops.disp_from_top_method1(cand_d, count)
+    if method == 2:
+        return vmtop_ops.disp_from_top_method2(cand_d, count, image)
+    n_iters = 2
+    h = vol.shape[1]
+    cde = exchange_rows(cand_d, n_iters, row_axis=1, pad_mode=-1)
+    cce = exchange_rows(cand_c, n_iters, row_axis=1, pad_mode="zero")
+    cnte = exchange_rows(count, n_iters, row_axis=0, pad_mode="zero")
+    g0 = lax.axis_index(axis_name) * h
+    v_coords = g0 - n_iters + jnp.arange(h + 2 * n_iters, dtype=jnp.int32)
+    out = vmtop_ops.disp_from_top_method0(cde, cce, cnte, cfg,
+                                          n_iters=n_iters,
+                                          v_coords=v_coords)
+    return crop_rows(out, n_iters, row_axis=0)
+
+
+def _true_border_tilt_clamp(arms: jnp.ndarray, halo: int, min_arm: int,
+                            axis_name: str = "row") -> jnp.ndarray:
+    """Tilted-arm analog of :func:`_true_border_arm_clamp`: every 45-degree
+    direction has a vertical component, so each raw arm grown on the
+    halo-extended band is clamped to the true-border distance (the
+    horizontal component is exact already — bands span the full width).
+    Direction order: LT(-1,-1), RD(1,1), RU(-1,1), LD(1,-1)."""
+    idx = lax.axis_index(axis_name)
+    n = lax.axis_size(axis_name)
+    hext = arms.shape[1]
+    h = hext - 2 * halo
+    g = idx * h + jnp.arange(hext, dtype=jnp.int32) - halo
+    hg = n * h
+    dist_u = jnp.clip(g, 0, None)[:, None]
+    dist_d = jnp.clip(hg - 1 - g, 0, None)[:, None]
+
+    def cl(a, dist):
+        return jnp.maximum(jnp.minimum(a, dist),
+                           jnp.minimum(jnp.int32(min_arm), dist))
+
+    return jnp.stack([cl(arms[0], dist_u), cl(arms[1], dist_d),
+                      cl(arms[2], dist_u), cl(arms[3], dist_d)])
+
+
+def _rv_combine_bg_band(d: jnp.ndarray, arms0, arms_tilt0,
+                        left: jnp.ndarray, cfg: MatchConfig,
+                        hr: int) -> jnp.ndarray:
+    """RV_combine_BG (cpp:7146-7216) on a row band: the vote runs on an
+    hr-row halo (HV and tilted supports both reach <= arm_l_out rows); the
+    2-direction background fill is row-local; the 4-direction fill's
+    vertical rays cross bands -> gathered-map fallback."""
+    d_ext = exchange_rows(d, hr, row_axis=0, pad_mode=-1)
+    rv = None
+    if cfg.interpolate_type in (0, 2, 3):
+        rv = crop_rows(
+            refine_ops.region_vote_core(d_ext, arms0, arms_tilt0,
+                                        cfg.num_disp, cfg.rv_s_thres,
+                                        cfg.rv_h_ratio, cfg.reg_vote_type,
+                                        max_arm=cfg.arm_l_out),
+            hr, row_axis=0)
+    bg = None
+    if cfg.interpolate_type in (1, 2, 3):
+        if cfg.bg_ip_dir == 4:
+            from mystereomatching_tpu.parallel.counters import (
+                note_all_gather)
+
+            n = lax.axis_size("row")
+            note_all_gather(left, n, stage="bg4_image")
+            img_full = lax.all_gather(left, "row", axis=0, tiled=True)
+            bg = _gathered_map_band(
+                d, lambda df: refine_ops.bg_fill_4dir(df, img_full,
+                                                      cfg.bg_ipl_depth),
+                stage="bg4_fill")
+        else:
+            bg, _ = refine_ops.bg_fill_2dir(d, cfg.bg_ipl_depth,
+                                            cfg.num_disp)
+    return refine_ops.rv_bg_policy(d, rv, bg, cfg.interpolate_type,
+                                   cfg.disp_occ, cfg.disp_mis)
+
+
+def _crossscale_band(vols, left, right, cfg: MatchConfig,
+                     axis_name: str = "row"):
+    """Cross-scale aggregation (SolveAll cpp:2142-2208) over row bands.
+
+    The finest level is the local band; coarser levels (<= 1/8 the finest
+    volume at level 1) are computed REPLICATED from the all_gathered
+    images and indexed at this band's global rows — exact vs dense, and
+    the replicated coarse work is bounded by sum(1/8^s) of a frame."""
+    from mystereomatching_tpu.ops.crossscale import pyr_down, solve_all
+    from mystereomatching_tpu.parallel.counters import note_all_gather
+    from mystereomatching_tpu.pipeline import compute_volumes
+
+    h = left.shape[0]
+    n = lax.axis_size(axis_name)
+    note_all_gather(left, n, stage="crossscale_images")
+    note_all_gather(right, n, stage="crossscale_images")
+    l = lax.all_gather(left, axis_name, axis=0, tiled=True)
+    r = lax.all_gather(right, axis_name, axis=0, tiled=True)
+    per = {lor: [vols[lor]] for lor in vols}
+    c = cfg
+    for _ in range(1, cfg.pyramid_levels):
+        l, r = pyr_down(l), pyr_down(r)
+        c = c.replace(max_disp=c.max_disp // 2 + 1)
+        vs, _ = compute_volumes(l, r, c)
+        for lor in vols:
+            per[lor].append(vs[lor])
+    row0 = lax.axis_index(axis_name) * h
+    return {lor: solve_all(per[lor], cfg.reg_lambda, row0=row0)
+            for lor in vols}
+
+
 def check_sharded_support(cfg: MatchConfig) -> None:
     """Loud guard: every MatchConfig flag either runs with the SAME
     meaning as the dense path (bit-exact, tests/test_sharding.py) or
-    raises here — no silent drops. The unsupported set is the genuinely
-    global/irregular tail."""
-    if cfg.optimization not in ("sgm", "wta"):
+    raises here — no silent drops. After the round-4 tail ports the
+    unsupported set is down to the genuinely irregular remainder."""
+    if cfg.optimization not in ("sgm", "wta", "so"):
         raise NotImplementedError(
-            f"sharded optimization {cfg.optimization!r}: SO's per-row "
-            "backtracking DP is row-local but unported; use the dense path")
+            f"sharded optimization {cfg.optimization!r} not supported")
     if cfg.aggregation not in ("cbca", "bf", "none"):
         raise NotImplementedError(
             f"sharded aggregation {cfg.aggregation!r} not supported "
             "(NL has its own sharded path: parallel/nl_sharded.py)")
     for flag, why in (
             ("do_cbbi", "flood-fill segmentation is image-global"),
-            ("do_vmtop", "top-K candidate voting unported"),
-            ("rv_use_combine_bg", "RV+BG combined policies unported"),
-            ("bg_ipol_kitti", "column extrapolation crosses row bands"),
             ("nl_post_process", "use parallel/nl_sharded.py"),
-            ("cbca_double_win", "double-window merge unported"),
             ("d_stream_block", "use a 'disp' mesh axis instead"),
     ):
         if getattr(cfg, flag):
             raise NotImplementedError(f"sharded pipeline: {flag} ({why})")
-    if cfg.reg_vote_type != 0:
-        raise NotImplementedError(
-            "sharded pipeline: reg_vote_type != 0 (tilted-arm vote unported)")
-    if cfg.pyramid_levels > 1:
-        raise NotImplementedError(
-            "sharded pipeline: cross-scale pyramid unported")
 
 
 def sharded_match_pair(
@@ -549,6 +743,10 @@ def sharded_match_pair(
     check_sharded_support(cfg)
     d_shard = "disp" in mesh.axis_names
     if d_shard:
+        if cfg.cbca_double_win:
+            raise NotImplementedError(
+                "cbca_double_win under a 'disp' mesh axis (per-D-block "
+                "double-window build unimplemented; use 'row' sharding)")
         n_dd = mesh.shape["disp"]
         if cfg.num_disp % n_dd:
             raise ValueError(

@@ -45,6 +45,18 @@ if __name__ == "__main__":
         print(f"{name}: h={kw['h']} w={kw['w']} max_disp={kw['max_disp']} "
               f"-> {root}/{name}")
 
+    # photographic-texture scenes (VERDICT r3 item 7): same geometry
+    # machinery, real photo textures — natural texture statistics
+    photo_scenes = {
+        "photo_teddy": dict(h=375, w=450, max_disp=59, seed=0),
+        "photo_small": dict(h=144, w=192, max_disp=23, seed=3),
+    }
+    for name, kw in photo_scenes.items():
+        pair = data.make_photo_pair(name=name, **kw)
+        export(pair, os.path.join(root, name))
+        print(f"{name}: h={kw['h']} w={kw['w']} max_disp={kw['max_disp']} "
+              f"-> {root}/{name}")
+
     # adversarial scenes (VERDICT r2 item 4): slanted planes (non-integer
     # GT), low-texture regions, repeated patterns — dense tie structure
     adversarial = {

@@ -129,3 +129,56 @@ def test_adversarial_scene_matches_reference_binary():
 @pytest.mark.slow
 def test_adversarial_teddy_matches_reference_binary():
     _run_adv_golden("adv_teddy", wta_tie_budget=30, final_tie_budget=25)
+
+
+# --- photographic-texture scenes (VERDICT r3 item 7) ------------------------
+# make_photo_pair: the same fronto-parallel geometry/warp machinery textured
+# with REAL photographs (matplotlib's sample portrait + pygame's doc photos —
+# the only photographic content available offline). Natural texture
+# statistics (smooth low-texture regions, JPEG noise, true edges) operate
+# census/CBCA/SGM in the reference's own evaluation regime (main_.cpp:33-39):
+# bad-1.0 lands at realistic several-% levels instead of the <=0.01 of the
+# procedural scenes. Budgets recorded at fixture generation (2026-08-20).
+
+PHOTO_SCENES = {
+    "photo_small": dict(h=144, w=192, max_disp=23, seed=3),
+    "photo_teddy": dict(h=375, w=450, max_disp=59, seed=0),
+}
+
+
+def _run_photo_golden(scene, wta_tie_budget=0, final_tie_budget=0,
+                      min_bad1=0.005):
+    params = PHOTO_SCENES[scene]
+    pair = data.make_photo_pair(name=scene, **params)
+    gt = np.asarray(pair.gt)
+
+    ref_wta = load_ref_disp(os.path.join(GOLDEN, f"{scene}_wta.bin"))
+    ref_final = load_ref_disp(os.path.join(GOLDEN, f"{scene}_final.bin"))
+
+    cfg = MODEL_REGISTRY["census_grad_cbca_sgm"](max_disp=params["max_disp"])
+    out = pipeline.match_pair(pair.left, pair.right, cfg)
+    ours_wta = np.asarray(out["disp_left_raw"])
+    ours_final = np.round(np.asarray(out["disparity"])).astype(np.int32)
+
+    n_wta = int((ours_wta != ref_wta).sum())
+    n_final = int((ours_final != ref_final).sum())
+    m = pair.masks["nonocc"]
+    bad1 = float((((np.abs(ours_final - gt) > 1) | (ours_final < 0)) & m).sum()
+                 / m.sum())
+    bad1_ref = float((((np.abs(ref_final - gt) > 1) | (ref_final < 0)) & m).sum()
+                     / m.sum())
+    print(f"{scene}: wta flips {n_wta}, final flips {n_final}, "
+          f"bad1_nonocc ours {bad1:.4f} ref {bad1_ref:.4f}")
+    assert n_wta <= wta_tie_budget, f"WTA differs at {n_wta} px"
+    assert n_final <= final_tie_budget, f"final differs at {n_final} px"
+    # the scene must actually exercise the realistic error regime
+    assert bad1 >= min_bad1, f"bad1 {bad1} suspiciously low for real texture"
+
+
+def test_photo_scene_matches_reference_binary():
+    _run_photo_golden("photo_small")
+
+
+@pytest.mark.slow
+def test_photo_teddy_matches_reference_binary():
+    _run_photo_golden("photo_teddy")

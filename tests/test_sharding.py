@@ -219,11 +219,9 @@ def test_sharded_unsupported_flags_raise(pair):
 
     base = default_config(max_disp=7, census_rv=2, census_ru=3,
                           cbca_cross_l=3, cbca_cross_l_out=5)
-    bad = [base.replace(do_cbbi=True), base.replace(do_vmtop=True),
-           base.replace(optimization="so"), base.replace(aggregation="gf"),
-           base.replace(rv_use_combine_bg=True),
-           base.replace(bg_ipol_kitti=True, do_bg_ipol=True),
-           base.replace(cbca_double_win=True)]
+    bad = [base.replace(do_cbbi=True), base.replace(aggregation="gf"),
+           base.replace(nl_post_process=True),
+           base.replace(d_stream_block=4)]
     for cfg in bad:
         with pytest.raises(NotImplementedError):
             check_sharded_support(cfg)
@@ -231,3 +229,53 @@ def test_sharded_unsupported_flags_raise(pair):
     left = jnp.asarray(pair.left, jnp.float32)[None]
     with pytest.raises(NotImplementedError):
         sharded_match_pair(left, left, bad[0], mesh)
+
+
+def test_sharded_so_exact(pair):
+    """SO optimization (cpp:6272-6416) is row-local DP — bit-exact."""
+    cfg = _small_cfg().replace(optimization="so")
+    _assert_sharded_matches_dense(pair, cfg)
+
+
+@pytest.mark.parametrize("method", [0, 1, 2])
+def test_sharded_vmtop_exact(pair, method):
+    """vmTop (cpp:1514-1885): method 0's Jacobi vote runs on an
+    n_iters-row candidate halo; methods 1/2 are row scans."""
+    cfg = _small_cfg().replace(do_vmtop=True, vmtop_method=method,
+                               vmtop_num=3)
+    _assert_sharded_matches_dense(pair, cfg)
+
+
+@pytest.mark.parametrize("itype,rvt,bgdir", [(2, 0, 2), (3, 1, 2),
+                                             (0, 2, 2), (2, 0, 4)])
+def test_sharded_rv_combine_bg(pair, itype, rvt, bgdir):
+    """RV_combine_BG (cpp:7146-7216) incl. the tilted-arm vote
+    (cpp:6864-6911) and 2-/4-direction BG fills."""
+    cfg = _small_cfg().replace(
+        rv_use_combine_bg=True, interpolate_type=itype, reg_vote_type=rvt,
+        bg_ip_dir=bgdir, lrc_classify=True)
+    _assert_sharded_matches_dense(pair, cfg)
+
+
+def test_sharded_kitti_bg(pair):
+    """KITTI background fill (cpp:5864-5948): gathered-map stage."""
+    cfg = _small_cfg().replace(do_bg_ipol=True, bg_ipol_kitti=True,
+                               lrc_classify=True)
+    _assert_sharded_matches_dense(pair, cfg)
+
+
+@pytest.mark.parametrize("comb", [2, 4])
+def test_sharded_double_window(pair, comb):
+    """Double-window CBCA + combine2Vm (cpp:4142-4331) on row bands."""
+    cfg = _small_cfg().replace(
+        cbca_double_win=True, cbca_combine=comb,
+        cbca_cross_ls=(3, 4, 5), cbca_cross_l_outs=(5, 6, 7),
+        cbca_c_threshes=(20, 30, 30), cbca_c_thresh_outs=(6, 0, 0))
+    _assert_sharded_matches_dense(pair, cfg)
+
+
+def test_sharded_crossscale(pair):
+    """Cross-scale SolveAll (cpp:2142-2208): local finest band fused with
+    replicated coarse levels at global row indices."""
+    cfg = _small_cfg().replace(pyramid_levels=2)
+    _assert_sharded_matches_dense(pair, cfg)
