@@ -370,21 +370,24 @@ def _slot_masks8(in_mst: jnp.ndarray, h: int, w: int):
     return jnp.concatenate([four, jnp.stack([dr, dl, ul, ur])])
 
 
-def _rank_tour(is_edge: jnp.ndarray, succ: jnp.ndarray, nc: int,
-               h: int, w: int) -> jnp.ndarray:
-    """List-rank the Euler tour: negated steps-to-end per directed edge.
+# problems below this node count skip the fast/full lax.cond tiers and
+# trace ONE full-size branch: at small n the compacted fast path saves
+# nothing at runtime but its duplicated branch program dominates XLA
+# compile time (the round-4 multichip-gate timeout was ~7 of these conds
+# in the tiny-shape NL d-shard dryrun program)
+_COND_MIN_N = int(os.environ.get("MYSM_COND_MIN_N", str(1 << 14)))
 
-    is_edge/succ: [4N] slot-space presence + successor (self = tour end /
-    absent). ``nc``: STATIC compact size — live edges are compacted into
-    nc rows (order-preserving prefix-sum ids) and ranked by pointer
-    doubling with (dist, succ) fused into one [nc, 2] gather per round.
-    TPU gathers are row-latency-bound (~6 ns/row), so the caller shrinks
-    nc as far as it can prove live <= nc. Returns [4N] int32 ranks
-    (earlier edge => smaller value; non-edges 0).
+
+def _rank_setup(is_edge: jnp.ndarray, succ: jnp.ndarray, h: int):
+    """Compact-size-independent prep for :func:`_rank_tour` — hoisted out
+    of the fast/full cond branches so it is traced once.
+
+    Returns (newid, succ_new): old -> compact id via a 2-level prefix sum
+    ([H, S*W] rows + row offsets; a flat 1-D cumsum over S*N elements
+    hangs the TPU lowering), and each live edge's successor in compact id
+    space (-1 = tour end / absent).
     """
     de = is_edge.shape[0]
-    # old -> compact id: 2-level prefix sum ([H, S*W] rows + row offsets) —
-    # a flat 1-D cumsum over S*N elements hangs the TPU lowering
     e2 = is_edge.astype(jnp.int32).reshape(h, de // h)
     c2 = jnp.cumsum(e2, axis=1)
     row_tot = c2[:, -1]
@@ -396,6 +399,23 @@ def _rank_tour(is_edge: jnp.ndarray, succ: jnp.ndarray, nc: int,
     # measured SLOWER on-chip — 29.5 vs 20.9 ms root_tree — the masked
     # select chain doesn't fuse; the gather stays)
     succ_new = jnp.where(live, newid[succ], -1)        # -1: tour end/self
+    return newid, succ_new
+
+
+def _rank_tour(is_edge: jnp.ndarray, newid: jnp.ndarray,
+               succ_new: jnp.ndarray, nc: int) -> jnp.ndarray:
+    """List-rank the Euler tour: negated steps-to-end per directed edge.
+
+    is_edge: [4N] slot-space presence; newid/succ_new from
+    :func:`_rank_setup`. ``nc``: STATIC compact size — live edges are
+    compacted into nc rows and ranked by pointer doubling with
+    (dist, succ) fused into one [nc, 2] gather per round. TPU gathers are
+    row-latency-bound (~6 ns/row), so the caller shrinks nc as far as it
+    can prove live <= nc. Returns [4N] int32 ranks (earlier edge =>
+    smaller value; non-edges 0).
+    """
+    de = is_edge.shape[0]
+    iota = jnp.arange(de, dtype=jnp.int32)
     slot = jnp.where(is_edge, newid, nc)               # nc: dropped
     iota_c = jnp.arange(nc, dtype=jnp.int32)
     succ_c = jnp.full((nc,), -1, jnp.int32).at[slot].set(succ_new, mode="drop")
@@ -545,13 +565,18 @@ def root_tree(in_mst: jnp.ndarray, wr: jnp.ndarray, wd: jnp.ndarray,
     # gathers), so the cap tracks the measured core: ~16% of nodes remain
     # after 20 peels on natural/synthetic images => ~0.32n directed core
     # edges; 2n/6 holds that with margin, and pathological (path-shaped)
-    # trees fall through to the exact full-size branch
+    # trees fall through to the exact full-size branch. Small problems
+    # skip the cond (one full-size branch — see _COND_MIN_N).
+    newid, succ_new = _rank_setup(is_edge, succ, h)
     nc_fast = max(64, (2 * n) // int(os.environ.get("MYSM_RANK_DIV", "6")))
-    cnt = jnp.sum(is_edge.astype(jnp.int32))
-    rank = jax.lax.cond(
-        cnt <= nc_fast,
-        lambda: _rank_tour(is_edge, succ, nc_fast, h, w),
-        lambda: _rank_tour(is_edge, succ, 2 * n, h, w))
+    if n <= _COND_MIN_N:
+        rank = _rank_tour(is_edge, newid, succ_new, 2 * n)
+    else:
+        cnt = jnp.sum(is_edge.astype(jnp.int32))
+        rank = jax.lax.cond(
+            cnt <= nc_fast,
+            lambda: _rank_tour(is_edge, newid, succ_new, nc_fast),
+            lambda: _rank_tour(is_edge, newid, succ_new, 2 * n))
 
     # parent for core nodes: node v's parent is the neighbor t of the
     # unique present slot s whose INCOMING direction (t->v) ranks earlier
@@ -703,21 +728,33 @@ def boruvka_mst_contracted(wr: jnp.ndarray, wd: jnp.ndarray) -> jnp.ndarray:
         r1 += 1
     state = _grid_round1(wr, wd, idx_bits)
     round_body = _grid_round_body(wr, wd, eu, ev, idx_bits)
-    for _ in range(r1 - 1):
-        state = round_body(state)
     # cap tightening (round 4): every post-phase-1 row op (dedup sorts,
     # cascade gathers/scatters) is latency-bound in its STATIC row count,
     # and the worst-case bound n>>r1 over-provisions ~3-4x (measured
     # components after 2 grid rounds: ~0.08n on natural/synthetic images
     # vs the 0.25n bound). Size the cascade for n>>(r1+1) and, on the
-    # rare image that exceeds it, run ONE conditional extra grid round —
-    # components at least double per round, so the tight cap is then a
-    # true bound. Same unique MST either way.
+    # rare image that exceeds it, run ONE extra grid round — components
+    # at least double per round, so the tight cap is then a true bound.
+    # Same unique MST either way. The extra round runs under the SAME
+    # while_loop as rounds 2..r1 (counter + component-count condition), so
+    # the round body is traced ONCE — a lax.cond top-up duplicated the
+    # whole grid-round program and quadrupled the NL XLA compile
+    # (round-4 multichip gate timeout, VERDICT r4 item 1).
     iota_n = jnp.arange(n, dtype=jnp.int32)
-    cnt = jnp.sum((state[0] == iota_n).astype(jnp.int32))
     c_cap = max(n >> (r1 + 1), 64)
-    state = jax.lax.cond(cnt <= c_cap, lambda s: s, round_body, state)
-    comp, in_mst = state
+
+    def more_rounds(st):
+        comp, _, i = st
+        cnt = jnp.sum((comp == iota_n).astype(jnp.int32))
+        return (i < r1 - 1) | ((i < r1) & (cnt > c_cap))
+
+    def round_step(st):
+        comp, in_mst, i = st
+        comp, in_mst = round_body((comp, in_mst))
+        return comp, in_mst, i + 1
+
+    comp, in_mst, _ = jax.lax.while_loop(
+        more_rounds, round_step, state + (jnp.int32(0),))
 
     # --- phase 2: relabel components densely, contract edges ---
     iota = jnp.arange(n, dtype=jnp.int32)
@@ -1025,7 +1062,13 @@ def tree_filter(tree: RootedTree, values: jnp.ndarray, sigma: float = 0.1,
         h, w = (int(tree.shape[0]), int(tree.shape[1]))  # jit boundary
     except (TypeError, jax.errors.TracerIntegerConversionError):
         h = w = 0
-    if (peels > 0 and h * w == n
+    # small problems skip the peel path: its per-round plane pushes are
+    # UNROLLED (fori measured 1.8x slower on TPU at frame scale), which
+    # at tiny n is pure compiled-program size for no runtime win — the
+    # dryrun/test-scale NL program carried 3 filters x 40 unrolled rounds
+    # and the XLA CPU compile blew past the driver's multichip-gate
+    # budget (VERDICT r4 item 1)
+    if (peels > 0 and n > _COND_MIN_N and h * w == n
             and not os.environ.get("MYSM_NO_TREEPEEL")):
         out = _tree_filter_peeled(tree.parent, sim, x, h, w, peels,
                                   compute_dtype=compute_dtype,
@@ -1147,17 +1190,22 @@ def _tree_filter_peeled(parent: jnp.ndarray, sim: jnp.ndarray,
     # --- up + down on the core (pointer doubling, compacted 3x if the
     # live count allows; full-size branch for path-shaped trees) ---
     core = alive.reshape(-1)
-    cnt = jnp.sum(core.astype(jnp.int32))
     # core-doubling cost is linear in the STATIC cap (segment-sum +
     # gather rows); ~16% of nodes survive 20 peels on natural/synthetic
     # images, so n/5 holds the live core with margin — path-shaped trees
-    # fall through to the exact full-size branch
+    # fall through to the exact full-size branch. Small problems trace
+    # ONE full-size branch (_COND_MIN_N); cid is hoisted out of the cond.
     cap_fast = max(64, n // 5)
     flat = V.reshape(n, d).astype(jnp.float32)       # core doubling: f32
-    up_full, down_full = jax.lax.cond(
-        cnt <= cap_fast,
-        lambda: _filter_core(flat, sim, parent, core, cap_fast),
-        lambda: _filter_core(flat, sim, parent, core, n))
+    cid = _cumsum_flat(core.astype(jnp.int32)) - 1
+    if n <= _COND_MIN_N:
+        up_full, down_full = _filter_core(flat, sim, parent, core, cid, n)
+    else:
+        cnt = jnp.sum(core.astype(jnp.int32))
+        up_full, down_full = jax.lax.cond(
+            cnt <= cap_fast,
+            lambda: _filter_core(flat, sim, parent, core, cid, cap_fast),
+            lambda: _filter_core(flat, sim, parent, core, cid, n))
     # S_up stays valid for peeled nodes; core rows updated
     V_up = jnp.where(core[:, None], up_full.astype(cdt),
                      V.reshape(n, d)).reshape(h, w, d)
@@ -1177,18 +1225,19 @@ def _tree_filter_peeled(parent: jnp.ndarray, sim: jnp.ndarray,
 
 
 def _filter_core(flat: jnp.ndarray, sim: jnp.ndarray, parent: jnp.ndarray,
-                 core: jnp.ndarray, cap: int):
+                 core: jnp.ndarray, cid: jnp.ndarray, cap: int):
     """Doubling up+down passes on the core rows, compacted to ``cap``.
 
     flat: [N, D] accumulated values (peeled subtree sums already pushed
-    into their core attachment points); core: [N] bool. A core node's
-    parent is core (aliveness is monotone toward the root), so the
-    compacted doubling never leaves the core. Returns (up, down) [N, D]
-    — valid at core rows only.
+    into their core attachment points); core: [N] bool; cid: [N] compact
+    ids (inclusive cumsum of core, minus 1 — hoisted to the caller so the
+    fast/full cond branches share it). A core node's parent is core
+    (aliveness is monotone toward the root), so the compacted doubling
+    never leaves the core. Returns (up, down) [N, D] — valid at core
+    rows only.
     """
     n, d = flat.shape
     iota = jnp.arange(n, dtype=jnp.int32)
-    cid = _cumsum_flat(core.astype(jnp.int32)) - 1
     slot = jnp.where(core, cid, cap)
     oldid = jnp.full((cap,), n, jnp.int32).at[slot].set(iota, mode="drop")
     row_ok = oldid < n
