@@ -14,6 +14,7 @@ gather-differences (:func:`mystereomatching_tpu.ops.arms.arm_bounded_sum`).
 
 from __future__ import annotations
 
+import os
 from typing import Optional
 
 import jax.numpy as jnp
@@ -56,22 +57,40 @@ def cbca(
     if pk.tpu_backend():
         swap = lambda x: jnp.swapaxes(x, -1, -2)
         armLT, armRT = swap(armL), swap(armR)            # [D, W, H]
+        h_, w_ = vol.shape[-2:]
+        # fused second pass: the area channel is built IN-KERNEL from the
+        # first-direction arm blocks (sublane_pass_area) instead of being
+        # materialized + stacked — saves ~1.4 ms/vol of stack/broadcast
+        # traffic at Teddy B=16 (profile_cbca_stage.py); falls back to
+        # the stacked div_pair kernel when the 2-channel block would
+        # overflow scoped VMEM (full-res D-streamed shapes)
+        fused = (pk.sublane_pass_fits(2, h_, max_arm)
+                 and pk.sublane_pass_fits(2, w_, max_arm)
+                 and not os.environ.get("MYSM_CBCA_NO_FUSED_AREA"))
+        armUT = armDT = None
         for it in range(iterations):
-            # the second pass fuses the area normalization in-kernel
-            # (div_pair): one [1,...] write instead of [2,...] + a
-            # separate divide pass
             if it % 2 == 0:                              # H-dir pass, then V
                 volT = pk.sublane_pass_auto(swap(vol)[None], armLT, armRT,
                                             max_arm)[0]
-                stacked = jnp.stack([swap(volT), area_of(armL, armR)])
-                vol = pk.sublane_pass_auto(stacked, armU, armD, max_arm,
-                                           div_pair=True)[0]
+                if fused:
+                    vol = pk.sublane_pass_area(swap(volT), armL, armR,
+                                               armU, armD, max_arm)
+                else:
+                    stacked = jnp.stack([swap(volT), area_of(armL, armR)])
+                    vol = pk.sublane_pass_auto(stacked, armU, armD, max_arm,
+                                               div_pair=True)[0]
             else:                                        # V-dir pass, then H
                 v1 = pk.sublane_pass_auto(vol[None], armU, armD, max_arm)[0]
-                stackedT = pk.sublane_pass_auto(
-                    swap(jnp.stack([v1, area_of(armU, armD)])),
-                    armLT, armRT, max_arm, div_pair=True)
-                vol = swap(stackedT[0])
+                if fused:
+                    if armUT is None:
+                        armUT, armDT = swap(armU), swap(armD)
+                    vol = swap(pk.sublane_pass_area(swap(v1), armUT, armDT,
+                                                    armLT, armRT, max_arm))
+                else:
+                    stackedT = pk.sublane_pass_auto(
+                        swap(jnp.stack([v1, area_of(armU, armD)])),
+                        armLT, armRT, max_arm, div_pair=True)
+                    vol = swap(stackedT[0])
         return vol
 
     for it in range(iterations):

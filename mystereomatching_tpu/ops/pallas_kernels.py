@@ -65,7 +65,7 @@ _REDUCE_OPS = {
 
 
 def _taps_kernel(vol_ref, an_ref, ap_ref, out_ref, buf, *, max_arm: int,
-                 op: str, div_pair: bool = False):
+                 op: str, div_pair: bool = False, seg: int = 0):
     """One arm-bounded reduction pass along the sublane (axis-2) block dim.
 
     vol_ref/out_ref: [C, 1, A, B]; an/ap_ref: [1, A, B] int32;
@@ -73,6 +73,11 @@ def _taps_kernel(vol_ref, an_ref, ap_ref, out_ref, buf, *, max_arm: int,
     ``div_pair``: C == 2 and out_ref is [1, 1, A, B] =
     res[0] / max(res[1], 1) — CBCA's area normalization fused into the
     pass (halves the write traffic and drops the separate divide pass).
+    ``seg``: evaluate the adaptive trip count (kmax) per ``seg``-row
+    segment of the reduction axis instead of over the whole block (round
+    5, ported from the clone kernel's win): arms are short and local
+    (bench-scene mean ~1), so most segments run far fewer taps than the
+    block max. Tap order per element is unchanged -> bit-identical.
     """
     # Compute in f32 regardless of the storage dtype: Mosaic supports
     # neither dynamic sublane slices (need 8-aligned starts) nor rotates on
@@ -90,22 +95,31 @@ def _taps_kernel(vol_ref, an_ref, ap_ref, out_ref, buf, *, max_arm: int,
     # arms arrive in their storage dtype (int8/16/32); widen once per block
     an = an_ref[:].astype(jnp.int32)[None]          # [1, 1, A, B]
     ap = ap_ref[:].astype(jnp.int32)[None]
-    fill = jnp.full_like(v, ident)
-    kmax = jnp.maximum(jnp.max(an), jnp.max(ap))
 
-    def body(k, acc):
-        fwd = buf[:, :, pl.ds(m + k, a), :]     # v[x + k]
-        bwd = buf[:, :, pl.ds(m - k, a), :]     # v[x - k]
-        acc = combine(acc, jnp.where(ap >= k, fwd, fill))
-        acc = combine(acc, jnp.where(an >= k, bwd, fill))
-        return acc
-
-    res = jax.lax.fori_loop(1, jnp.minimum(kmax, m) + 1, body, v)
-    if div_pair:
-        out_ref[:] = (res[:1] / jnp.maximum(res[1:], 1.0)).astype(
-            out_ref.dtype)
+    if not seg or seg >= a:
+        segs = [(0, a)]
     else:
-        out_ref[:] = res.astype(out_ref.dtype)
+        segs = [(s0, min(seg, a - s0)) for s0 in range(0, a, seg)]
+    for s0, sl in segs:
+        an_s = an[:, :, s0:s0 + sl, :]
+        ap_s = ap[:, :, s0:s0 + sl, :]
+        acc0 = v[:, :, s0:s0 + sl, :]
+        fill = jnp.full_like(acc0, ident)
+        kmax = jnp.maximum(jnp.max(an_s), jnp.max(ap_s))
+
+        def body(k, acc, s0=s0, sl=sl, an_s=an_s, ap_s=ap_s, fill=fill):
+            fwd = buf[:, :, pl.ds(m + s0 + k, sl), :]     # v[x + k]
+            bwd = buf[:, :, pl.ds(m + s0 - k, sl), :]     # v[x - k]
+            acc = combine(acc, jnp.where(ap_s >= k, fwd, fill))
+            acc = combine(acc, jnp.where(an_s >= k, bwd, fill))
+            return acc
+
+        res = jax.lax.fori_loop(1, jnp.minimum(kmax, m) + 1, body, acc0)
+        if div_pair:
+            out_ref[:, :, s0:s0 + sl, :] = (
+                res[:1] / jnp.maximum(res[1:], 1.0)).astype(out_ref.dtype)
+        else:
+            out_ref[:, :, s0:s0 + sl, :] = res.astype(out_ref.dtype)
 
 
 def _taps_kernel_clones(vol_ref, an_ref, ap_ref, out_ref, buf, *,
@@ -173,6 +187,84 @@ def _taps_kernel_clones(vol_ref, an_ref, ap_ref, out_ref, buf, *,
                 res[:1] / jnp.maximum(res[1:], 1.0)).astype(out_ref.dtype)
         else:
             out_ref[:, :, s0:s0 + sl, :] = res.astype(out_ref.dtype)
+
+
+def _taps_kernel_area(vol_ref, an1_ref, ap1_ref, an_ref, ap_ref, out_ref,
+                      buf, *, max_arm: int):
+    """CBCA second-direction pass with the support-area channel built
+    IN-KERNEL and the normalization fused (round 5).
+
+    The former path materialized area_of(arms) as a full f32 [D,H,W]
+    volume, stacked it with the cost volume, and ran the [2,...] div_pair
+    kernel — ~1.4 ms/vol of pure stack/broadcast traffic at Teddy B=16
+    (scripts/profile_cbca_stage.py). Here the first-direction arms
+    (an1/ap1) come in as blocks and the area channel
+    min(an1,m) + min(ap1,m) + 1 (aggregation.cbca area_of) is computed in
+    VMEM; both channels run the SAME tap loop as :func:`_taps_kernel`
+    (identical combine order -> bit-identical), and the output is
+    res_vol / max(res_area, 1) (genfinalVm_cbca cpp:3969-3992).
+
+    vol_ref: [1, 1, A, B]; an1/ap1/an/ap_ref: [1, A, B];
+    out_ref: [1, 1, A, B]; buf: [2, 1, A + 2*max_arm, B] scratch.
+    """
+    m = max_arm
+    a = vol_ref.shape[2]
+    v = vol_ref[:].astype(jnp.float32)                       # [1,1,A,B]
+    an1 = an1_ref[:].astype(jnp.int32)
+    ap1 = ap1_ref[:].astype(jnp.int32)
+    area = (jnp.minimum(an1, m) + jnp.minimum(ap1, m) + 1
+            ).astype(jnp.float32)[None]                      # [1,1,A,B]
+    stacked = jnp.concatenate([v, area], 0)                  # [2,1,A,B]
+    buf[:, :, :m, :] = jnp.zeros_like(buf[:, :, :m, :])
+    buf[:, :, m + a:, :] = jnp.zeros_like(buf[:, :, m + a:, :])
+    buf[:, :, m:m + a, :] = stacked
+    an = an_ref[:].astype(jnp.int32)[None]
+    ap = ap_ref[:].astype(jnp.int32)[None]
+    fill = jnp.zeros_like(stacked)
+    kmax = jnp.maximum(jnp.max(an), jnp.max(ap))
+
+    def body(k, acc):
+        fwd = buf[:, :, pl.ds(m + k, a), :]
+        bwd = buf[:, :, pl.ds(m - k, a), :]
+        acc = acc + jnp.where(ap >= k, fwd, fill)
+        acc = acc + jnp.where(an >= k, bwd, fill)
+        return acc
+
+    res = jax.lax.fori_loop(1, jnp.minimum(kmax, m) + 1, body, stacked)
+    out_ref[:] = (res[:1] / jnp.maximum(res[1:], 1.0)).astype(out_ref.dtype)
+
+
+def sublane_pass_area(vol: jnp.ndarray, an1: jnp.ndarray, ap1: jnp.ndarray,
+                      an: jnp.ndarray, ap: jnp.ndarray, max_arm: int,
+                      interpret: bool = False) -> jnp.ndarray:
+    """Fused CBCA second pass: aggregate ``vol`` [B, A, L] and the
+    in-kernel area channel along axis 1 with arm bounds an/ap, divide.
+    an1/ap1: first-direction arms defining the area channel. See
+    :func:`_taps_kernel_area`."""
+    c = 2
+    b, a, l = vol.shape
+    ba = an.shape[0]
+    bt = min(l, int(os.environ.get("MYSM_CBCA_BT", "128")))
+    grid = (b, _cdiv(l, bt))
+    vol_spec = pl.BlockSpec((1, 1, a, bt), lambda bi, t: (0, bi, 0, t),
+                            memory_space=pltpu.VMEM)
+    arm_spec = pl.BlockSpec((1, a, bt),
+                            lambda bi, t: (bi if ba != 1 else 0, 0, t),
+                            memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_taps_kernel_area, max_arm=max_arm),
+        grid=grid,
+        in_specs=[vol_spec, arm_spec, arm_spec, arm_spec, arm_spec],
+        out_specs=vol_spec,
+        out_shape=jax.ShapeDtypeStruct((1,) + vol.shape, vol.dtype),
+        scratch_shapes=[pltpu.VMEM((c, 1, a + 2 * max_arm, bt),
+                                   jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            flops=vol.size * 2 * (4 * max_arm + 1),
+            bytes_accessed=vol.size * 8 + an.size * 16,
+            transcendentals=0),
+        interpret=interpret,
+    )(vol[None], an1, ap1, an, ap)[0]
 
 
 def sublane_pass_fits(c: int, a: int, max_arm: int) -> bool:
@@ -307,12 +399,16 @@ def _sublane_pass(vol: jnp.ndarray, an: jnp.ndarray, ap: jnp.ndarray,
                   op: str = "sum", div_pair: bool = False) -> jnp.ndarray:
     """Arm-bounded reduction along axis 2 of vol [C, B, A, L]; arms [Ba, A, L].
 
-    Default kernel: aligned-clone taps (:func:`_taps_kernel_clones`,
-    bit-identical to the unaligned-tap kernel; ~1.5x at Teddy scale).
-    MYSM_CBCA_TAPS=1 restores the round-3 unaligned kernel for A/B."""
+    Default kernel: unaligned dynamic-slice taps (:func:`_taps_kernel`).
+    The round-4 aligned-clone kernel (:func:`_taps_kernel_clones`,
+    bit-identical) measured 2.6x faster SINGLE-frame (0.435 vs 1.149
+    ms/pass) but REGRESSED the B=16 batched headline 580 -> 514
+    MP·disp/s (clone-scratch VMEM pressure under the vmap grid axis) —
+    the round-4 default flip caused BENCH_r04's drop. Clones stay opt-in
+    via MYSM_CBCA_CLONES=1 until a variant wins both shapes."""
     c, b, a, l = vol.shape
     ba = an.shape[0]
-    use_clones = not os.environ.get("MYSM_CBCA_TAPS")
+    use_clones = bool(os.environ.get("MYSM_CBCA_CLONES"))
     if use_clones:
         m8 = _cdiv(max_arm, 8) * 8 + 8
         ap_len = _cdiv(a + 2 * m8, 8) * 8
@@ -333,8 +429,12 @@ def _sublane_pass(vol: jnp.ndarray, an: jnp.ndarray, ap: jnp.ndarray,
         # unaligned dynamic sublane taps (wider tiles fail "cannot
         # statically prove index ... multiple of 8" — measured round 4)
         bt = min(l, int(os.environ.get("MYSM_CBCA_BT", "128")))
+        # per-seg kmax measured SLOWER for taps at B=16 (0.671 vs 0.578
+        # ms/pass/frame — the extra fori+write per segment breaks block
+        # pipelining); whole-block trip count stays the default
+        seg = int(os.environ.get("MYSM_CBCA_TAPS_SEG", "0"))
         kern = functools.partial(_taps_kernel, max_arm=max_arm, op=op,
-                                 div_pair=div_pair)
+                                 div_pair=div_pair, seg=seg)
         scratch_shape = (c, 1, a + 2 * max_arm, bt)
     grid = (b, _cdiv(l, bt))
     c_out = 1 if div_pair else c

@@ -40,6 +40,34 @@ def test_pallas_matches_taps(rng, axis, c, ba):
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-6)
 
 
+def test_sublane_pass_area_matches_stacked(rng):
+    """Fused in-kernel-area pass (round 5, sublane_pass_area) == the
+    stacked formulation it replaces: aggregate [vol, min(an1,m)+
+    min(ap1,m)+1] along axis 1 with an/ap bounds, divide (cbca second
+    pass, genfinalVm_cbca cpp:3969-3992)."""
+    from mystereomatching_tpu.ops.pallas_kernels import sublane_pass_area
+
+    b, h, w, m = 5, 24, 40, 7
+    vol = jnp.asarray(rng.random((b, h, w)), jnp.float32)
+    arms = []
+    vv = jnp.arange(h)[:, None]
+    for lo in (vv, h - 1 - vv):
+        arms.append(jnp.minimum(
+            jnp.asarray(rng.integers(0, m + 1, (b, h, w)), jnp.int32), lo))
+    an, ap = arms
+    an1 = jnp.asarray(rng.integers(0, 2 * m, (b, h, w)), jnp.int32)
+    ap1 = jnp.asarray(rng.integers(0, 2 * m, (b, h, w)), jnp.int32)
+
+    got = sublane_pass_area(vol, an1, ap1, an, ap, m, interpret=True)
+
+    area = (jnp.minimum(an1, m) + jnp.minimum(ap1, m) + 1).astype(
+        jnp.float32)
+    stacked = jnp.stack([vol, area])
+    agg = A._arm_bounded_sum_taps(stacked, an[None], ap[None], 2, m)
+    want = agg[0] / jnp.maximum(agg[1], 1.0)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-6)
+
+
 @pytest.mark.parametrize("axis", [2, 3])
 @pytest.mark.parametrize("c,ba,op", [(1, 1, "sum"), (2, 5, "sum"),
                                      (1, 5, "min"), (2, 1, "max")])
