@@ -58,11 +58,14 @@ def _lab_weight(center: jnp.ndarray, neigh: jnp.ndarray, gamma: float) -> jnp.nd
 
 def aws_aggregate(vol: jnp.ndarray, image_left: jnp.ndarray,
                   cfg: MatchConfig, image_right: jnp.ndarray = None,
-                  lor: int = 0) -> jnp.ndarray:
+                  lor: int = 0, disps: jnp.ndarray = None) -> jnp.ndarray:
     """Joint-bilateral AWS aggregation of [D,H,W] volume.
 
     Needs both images (joint weights); when called from the generic
     dispatcher with only one image, falls back to single-image weights.
+    ``disps``: optional [Db] disparity indices when ``vol`` is a
+    contiguous D-block of a larger volume (the sharded row-band pipeline
+    re-shards aggregation over disparity blocks — parallel/sharded.py).
     """
     r = cfg.aws_win
     gamma = cfg.aws_gamma
@@ -90,18 +93,20 @@ def aws_aggregate(vol: jnp.ndarray, image_left: jnp.ndarray,
             # pixel, the other view's at the matched pixel (u-d for the
             # left volume, u+d for the right; calvm_AWS h:1326-1336)
             w_ref, w_oth = (w_l, w_r) if lor == 0 else (w_r, w_l)
-            ele = w_ref[None] * shifted_stack(w_oth, d_, lor)
+            ele = w_ref[None] * shifted_stack(w_oth, d_, lor, disps=disps)
         else:
             ele = jnp.broadcast_to(w_l[None], (d_, h, w))
         v_sh = lax.dynamic_slice(vol_pad, (0, dv + r, du + r), (d_, h, w))
         return (numer + ele * v_sh, denom + ele), None
 
-    init = (jnp.zeros_like(vol), jnp.zeros_like(vol))
+    # init derived from the input (not fresh constants) so the carry is
+    # "varying" over any enclosing shard_map axes like the body output
+    init = (vol * 0.0, vol * 0.0)
     (numer, denom), _ = lax.scan(step, init, jnp.asarray(offs))
     out = numer / jnp.maximum(denom, 1e-12)
     # invalid disparities (matched pixel off-image): keep original cost
     # (the reference leaves them uninitialized, h:1328; we keep vol)
-    valid = valid_mask(w, d_, lor)
+    valid = valid_mask(w, d_, lor, disps=disps)
     return jnp.where(valid, out, vol)
 
 
@@ -137,6 +142,7 @@ def jbf_volume(vol: jnp.ndarray, image: jnp.ndarray, radius: int = 9,
         v_sh = lax.dynamic_slice(vol_pad, (0, dv + r, du + r), (d_, h, w))
         return (numer + wgt[None] * v_sh, denom + wgt), None
 
-    init = (jnp.zeros_like(vol), jnp.zeros((h, w), vol.dtype))
+    # derived init (not fresh constants): varying under shard_map axes
+    init = (vol * 0.0, vol[0] * 0.0)
     (numer, denom), _ = lax.scan(step, init, (jnp.asarray(offs), jnp.asarray(w_sp)))
     return numer / jnp.maximum(denom[None], 1e-12)

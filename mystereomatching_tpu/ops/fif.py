@@ -104,5 +104,7 @@ def _mp(vol: jnp.ndarray, w_edge: jnp.ndarray, pn: float) -> jnp.ndarray:
         y = c + aw * m
         return y, y
 
-    _, out = lax.scan(step, jnp.zeros((d_, h), vol.dtype), (vol_t, a_t))
+    # init derived from the input (not a fresh constant) so the carry is
+    # "varying" over any enclosing shard_map axes like the body output
+    _, out = lax.scan(step, vol_t[0] * 0, (vol_t, a_t))
     return jnp.moveaxis(out, 0, 2)

@@ -93,8 +93,11 @@ def boruvka_mst(wr: jnp.ndarray, wd: jnp.ndarray,
     big_w = jnp.int32(2**31 - 1)   # > any packed key (weight<<idx_bits | idx)
     big_i = jnp.int32(e)
 
-    comp = jnp.arange(n, dtype=jnp.int32)
-    in_mst = jnp.zeros((e,), jnp.bool_)
+    # inits derived from the (varying) edge weights so the while carries
+    # match the body outputs' varying axes under shard_map
+    zi = (ew[0] * 0).astype(jnp.int32)
+    comp = jnp.arange(n, dtype=jnp.int32) + zi
+    in_mst = jnp.zeros((e,), jnp.bool_) | (zi != 0)
 
     # edge endpoints are grid-structured: comp[eu]/comp[ev] are SLICES of
     # comp reshaped [H, W] (right edges row-major, down edges col-major) —
@@ -209,8 +212,10 @@ def _jump_to_root(parent: jnp.ndarray) -> jnp.ndarray:
         p2 = p[p]
         return p2, jnp.any(p2 != p)
 
+    # init flag derived from `parent` (not a fresh constant) so the carry
+    # is "varying" over enclosing shard_map axes like the body output
     p, _ = jax.lax.while_loop(lambda s: s[1], body,
-                              (parent, jnp.bool_(True)))
+                              (parent, parent[0] == parent[0]))
     return p
 
 
@@ -293,8 +298,9 @@ def boruvka_mst8(wr: jnp.ndarray, wd: jnp.ndarray, wdr: jnp.ndarray,
     def pad2(x, top, bot, lef, rig):
         return jnp.pad(x, ((top, bot), (lef, rig)), constant_values=big_w)
 
-    comp = jnp.arange(n, dtype=jnp.int32)
-    in_mst = jnp.zeros((e,), jnp.bool_)
+    zi = (ew[0] * 0).astype(jnp.int32)     # varying zero (see boruvka_mst)
+    comp = jnp.arange(n, dtype=jnp.int32) + zi
+    in_mst = jnp.zeros((e,), jnp.bool_) | (zi != 0)
 
     def edge_labels(c2):
         """Per-edge endpoint labels, flattened-edge order (plane slices)."""
@@ -500,10 +506,11 @@ def root_tree(in_mst: jnp.ndarray, wr: jnp.ndarray, wd: jnp.ndarray,
         frame_h = h
     roots2 = ((jnp.arange(h, dtype=jnp.int32)[:, None] % frame_h == 0)
               & (jnp.arange(w, dtype=jnp.int32)[None, :] == 0))
-    alive = jnp.ones((h, w), jnp.bool_)
+    zb = in_mst[0] & False                 # varying False (shard_map VMA)
+    alive = jnp.ones((h, w), jnp.bool_) | zb
     notroot = ~roots2
-    parent2 = ids2
-    weight2 = jnp.zeros((h, w), jnp.int32)
+    parent2 = ids2 + zb.astype(jnp.int32)
+    weight2 = jnp.zeros((h, w), jnp.int32) + zb.astype(jnp.int32)
     wplane_st = jnp.stack(wplane)                     # [4,H,W]
     nbr_st = jnp.stack(nbr_ids)
 
@@ -687,11 +694,12 @@ def _contracted_rounds(euv, valid, c_cap: int):
         buf = jax.lax.dynamic_update_slice(buf, rows[None], (i, 0))
         return comp2, buf, i + 1
 
+    zi = euv[0, 0] * 0                     # varying zero (shard_map VMA)
     _, buf, _ = jax.lax.while_loop(
         cond, step,
-        (jnp.arange(c_cap, dtype=jnp.int32),
-         jnp.full((max_rounds, c_cap), e_cap, jnp.int32),
-         jnp.int32(0)))
+        (jnp.arange(c_cap, dtype=jnp.int32) + zi,
+         jnp.full((max_rounds, c_cap), e_cap, jnp.int32) + zi,
+         zi))
     return (jnp.zeros((e_cap,), jnp.int32)
             .at[buf.reshape(-1)].max(1, mode="drop") > 0)
 
@@ -754,7 +762,7 @@ def boruvka_mst_contracted(wr: jnp.ndarray, wd: jnp.ndarray) -> jnp.ndarray:
         return comp, in_mst, i + 1
 
     comp, in_mst, _ = jax.lax.while_loop(
-        more_rounds, round_step, state + (jnp.int32(0),))
+        more_rounds, round_step, state + (state[0][0] * 0,))
 
     # --- phase 2: relabel components densely, contract edges ---
     iota = jnp.arange(n, dtype=jnp.int32)
@@ -1049,6 +1057,7 @@ def tree_filter(tree: RootedTree, values: jnp.ndarray, sigma: float = 0.1,
     Set MYSM_NO_TREEPEEL=1 to restore the pure pointer-doubling path.
     """
     n = tree.parent.shape[0]
+    peels = int(os.environ.get("MYSM_TREEPEELS", peels))
     squeeze = values.ndim == 1
     x = values[:, None] if squeeze else values
     sim = jnp.exp(-tree.weight.astype(jnp.float32) / (255.0 * max(sigma, 0.01)))
@@ -1169,23 +1178,61 @@ def _tree_filter_peeled(parent: jnp.ndarray, sim: jnp.ndarray,
     simv = [shift2(simp, dv, du)[..., None]            # sim of s-child edge
             for s, (dv, du) in enumerate(slot_off)]
 
-    # --- up pass, peel phase (UNROLLED on purpose: a fori_loop version
-    # measured 36 ms vs 20 ms — the loop carry blocks XLA from fusing the
-    # masked pushes across rounds and forces leaf-stack copies) ---
+    # --- up pass, peel phase: backend-sized unroll (round 5). On the
+    # REAL chip the rounds are fully unrolled — rolling them into a
+    # fori_loop costs ~20 ms/frame at Teddy scale (measured 131 vs 112
+    # ms, and chunked unrolls of 5 or 10 rounds per fori body measure the
+    # SAME as 1 — the loop itself, not lost cross-round fusion, is the
+    # penalty), and the axon service caches compiled executables
+    # server-side (CLAUDE.md) so the bigger program compiles once. Under
+    # local XLA (tests, dryrun, compile table) the unroll is program-size
+    # poison in the fusion passes (nl config compile 190 s unrolled vs
+    # 47 s rolled) with no runtime stake — rounds roll into a fori over
+    # MYSM_TREEPEEL_CHUNK-round bodies. A peel-ROUND-INDEX carry replaces
+    # round-3's stacked leaf masks (their copies measured 36 vs 20 ms);
+    # the down pass recomputes each round's mask as (peel_rnd == r).
+    # MYSM_TREEPEEL_UNROLL=1/0 overrides the backend default for A/B.
+    from mystereomatching_tpu.ops import pallas_kernels as pk
+
     V = x.astype(cdt).reshape(h, w, d)
-    alive = jnp.ones((h, w), jnp.bool_)
-    leaf_masks = []
-    for _ in range(peels):
+    zb = (parent[0] == parent[0]) & False  # varying False (shard_map VMA)
+    alive = jnp.ones((h, w), jnp.bool_) | zb
+    env_unroll = os.environ.get("MYSM_TREEPEEL_UNROLL")
+    unroll = (pk.tpu_backend() if env_unroll in (None, "")
+              else env_unroll not in ("0",))
+    chunk = peels if unroll else min(
+        peels, int(os.environ.get("MYSM_TREEPEEL_CHUNK", "5")))
+    n_ch = -(-peels // chunk)
+    peel_rnd = jnp.full((h, w), -1, jnp.int32) + zb.astype(jnp.int32)
+
+    def up_round(r, state):
+        V, alive, peel_rnd = state
         has_child = jnp.zeros((h, w), jnp.bool_)
         for s, (dv, du) in enumerate(slot_off):
             has_child = has_child | (child[s] & shift2(alive, dv, du))
         leaf = alive & ~is_root2 & ~has_child
-        leaf_masks.append(leaf)
+        leaf = leaf & (r < peels)      # chunk padding: no extra rounds
+        peel_rnd = jnp.where(leaf, r, peel_rnd)
         # push finalized children into parents (slot order R, D, L, U)
         for s, (dv, du) in enumerate(slot_off):
             m = child[s] & shift2(leaf, dv, du)
-            V = V + jnp.where(m[..., None], simv[s] * shift2(V, dv, du), 0.0)
-        alive = alive & ~leaf
+            V = V + jnp.where(m[..., None], simv[s] * shift2(V, dv, du),
+                              0.0)
+        return V, alive & ~leaf, peel_rnd
+
+    def up_chunk(i, state):
+        for j in range(chunk):
+            state = up_round(i * chunk + j, state)
+        return state
+
+    if unroll:
+        state = (V, alive, peel_rnd)
+        for r in range(peels):
+            state = up_round(r, state)
+        V, alive, peel_rnd = state
+    else:
+        V, alive, peel_rnd = jax.lax.fori_loop(
+            0, n_ch, up_chunk, (V, alive, peel_rnd))
 
     # --- up + down on the core (pointer doubling, compacted 3x if the
     # live count allows; full-size branch for path-shaped trees) ---
@@ -1214,13 +1261,28 @@ def _tree_filter_peeled(parent: jnp.ndarray, sim: jnp.ndarray,
 
     # --- down pass, reverse peel order: S = sim*S(parent) + (1-sim^2)*S^ ---
     fac = (1.0 - simp * simp)[..., None]
-    for leaf in reversed(leaf_masks):
+
+    def down_round(i, S):
+        # (i < peels) guard: chunk padding must not touch the unpeeled
+        # core, whose peel_rnd is -1 == peels - 1 - i at i == peels
+        leaf = (peel_rnd == (peels - 1 - i)) & (i < peels)
         upd = jnp.zeros((h, w, d), cdt)
         for s, (dv, du) in enumerate(slot_off):
             m = leaf & par_slot[s]
             upd = upd + jnp.where(m[..., None],
                                   simp[..., None] * shift2(S, dv, du), 0.0)
-        S = jnp.where(leaf[..., None], upd + fac * V_up, S)
+        return jnp.where(leaf[..., None], upd + fac * V_up, S)
+
+    def down_chunk(c, S):
+        for j in range(chunk):
+            S = down_round(c * chunk + j, S)
+        return S
+
+    if unroll:
+        for i in range(peels):
+            S = down_round(i, S)
+    else:
+        S = jax.lax.fori_loop(0, n_ch, down_chunk, S)
     return S.reshape(n, d).astype(jnp.float32)
 
 

@@ -227,6 +227,154 @@ def _sgm_sharded(vol, image, cfg: MatchConfig, n_chunks: int):
     return out
 
 
+def _dshard_aggregate_band(vol, cfg: MatchConfig, left, right, lor: int,
+                           p_axis: str = "row"):
+    """GF / JBF / AWS / plain-FIF / NL / GFNL aggregation on row bands.
+
+    These filters are INDEPENDENT per disparity slice (GF/JBF: per-slice
+    guided/bilateral filtering, stereoMatching.cpp:4404-4539 / 5738-5767;
+    AWS: per-slice joint weights, cpp:5692-5801; plain FIF: linear
+    recursions with image-only weights, cpp:4541-4705; NL/GFNL:
+    per-column tree filtering + per-slice GF, cpp:4421-4490, 4892-4917)
+    but need the FULL image extent, so the band split goes the other way:
+    all_to_all the band volume from H-bands to contiguous D-blocks over
+    the 'row' axis, run the DENSE op on each block against the
+    all_gathered guide images, and all_to_all back. Every disparity slice
+    computes exactly the dense arithmetic -> sharded == dense bit-for-bit
+    (tests/test_sharding.py); the two volume all_to_alls ride ICI
+    (SURVEY §2.7 "all_to_all if re-sharding H<->D between stages").
+
+    vol: [D, hb, W] band (halo already cropped); left/right: [hb, W, 3].
+    """
+    from mystereomatching_tpu.ops.aggregation import aggregate
+    from mystereomatching_tpu.parallel.counters import note_all_gather
+
+    nr = lax.axis_size(p_axis)
+    d, hb, w = vol.shape
+    db = -(-d // nr)
+    if db * nr != d:
+        vol = jnp.concatenate(
+            [vol, jnp.zeros((db * nr - d, hb, w), vol.dtype)], axis=0)
+    note_all_gather(vol, nr, stage=f"agg_{cfg.aggregation}_to_dblocks")
+    blk = lax.all_to_all(vol, p_axis, split_axis=0, concat_axis=1,
+                         tiled=True)
+    left_f = lax.all_gather(left, p_axis, axis=0, tiled=True)
+    right_f = lax.all_gather(right, p_axis, axis=0, tiled=True)
+    img = left_f if lor == 0 else right_f
+    other = right_f if lor == 0 else left_f
+    if cfg.aggregation == "aws":
+        # AWS weights shift the other view by the slice's ACTUAL disparity
+        # (calvm_AWS h:1326-1336) — pass the block's disparity indices
+        from mystereomatching_tpu.ops.aws import aws_aggregate
+
+        ds = lax.axis_index(p_axis) * db + jnp.arange(db, dtype=jnp.int32)
+        li, ri = (img, other) if lor == 0 else (other, img)
+        out = aws_aggregate(blk, li, cfg, ri, lor=lor, disps=ds)
+    else:
+        out = aggregate(blk, cfg, img, to_gray(img), arms_int=None,
+                        other_image=other, lor=lor)
+    note_all_gather(out, nr, stage=f"agg_{cfg.aggregation}_to_bands")
+    out = lax.all_to_all(out, p_axis, split_axis=1, concat_axis=0,
+                         tiled=True)
+    return out[:d]
+
+
+def _minplus_vert_band(voln, awn, pn, order_idx, perm, n_chunks: int,
+                       p_axis: str = "row"):
+    """Chunked-wavefront vertical min-plus recursion over row bands —
+    FIF_Improve's V-pass core (cpp:4797-4890). voln: [D, hb, W] oriented
+    so the scan runs top->bottom in band order ``order_idx``; awn: [hb, W]
+    weight coupling the predecessor scan row into each row (0 at the
+    global first scan row). Same pipelining as :func:`_wavefront_scan`:
+    device p runs W-chunk c at step t = c + p, carry [D, cw] rows hop to
+    the next band over ppermute. Row order and per-element arithmetic are
+    exactly the dense ``ops.fif._mp`` lax.scan."""
+    d_, h, w = voln.shape
+    cw = -(-w // n_chunks)
+    wpad = cw * n_chunks
+    volp = jnp.pad(voln, ((0, 0), (0, 0), (0, wpad - w)))
+    awp = jnp.pad(awn, ((0, 0), (0, wpad - w)))
+    big = jnp.asarray(3.4e38, voln.dtype)
+
+    out = volp * 0
+    state = volp[:, 0, :cw] * 0
+
+    def chunk_scan(chunk, awc, init):
+        def sstep(y_prev, inp):
+            c, aw = inp
+            up = jnp.concatenate([jnp.full((1, cw), big, c.dtype),
+                                  y_prev[:-1]], 0)
+            dn = jnp.concatenate([y_prev[1:],
+                                  jnp.full((1, cw), big, c.dtype)], 0)
+            y = c + aw * jnp.minimum(y_prev, jnp.minimum(up, dn) + pn)
+            return y, y
+
+        _, ys = lax.scan(sstep, init,
+                         (jnp.moveaxis(chunk, 1, 0), awc[:, None, :]))
+        return jnp.moveaxis(ys, 0, 1)
+
+    def step(t, carry):
+        out, state = carry
+        c = t - order_idx
+        cc = jnp.clip(c, 0, n_chunks - 1)
+        active = (c >= 0) & (c < n_chunks)
+        chunk = lax.dynamic_slice(volp, (0, 0, cc * cw), (d_, h, cw))
+        awc = lax.dynamic_slice(awp, (0, cc * cw), (h, cw))
+        init = jnp.where(order_idx == 0, jnp.zeros_like(state), state)
+        res = chunk_scan(chunk, awc, init)
+        out = jnp.where(active,
+                        lax.dynamic_update_slice(out, res, (0, 0, cc * cw)),
+                        out)
+        state = lax.ppermute(res[:, -1, :], p_axis, perm)
+        return out, state
+
+    n_dev = lax.axis_size(p_axis)
+    from mystereomatching_tpu.parallel.counters import note_wavefront
+
+    note_wavefront(n_chunks + n_dev - 1, state.shape, state.dtype,
+                   stage="fif_improve")
+    out, _ = lax.fori_loop(0, n_chunks + n_dev - 1, step, (out, state))
+    return out[:, :, :w]
+
+
+def _fif_improve_band(vol, image, cfg: MatchConfig, n_chunks: int):
+    """FIF_Improve (cpp:4707-4890) on a row band: the H pass is band-local
+    (full rows present), the V pass is the dense min-plus lax.scan
+    wavefront-pipelined across bands. The disparity ±1 coupling inside the
+    recursion makes FIF_Improve the one aggregation that cannot re-shard
+    over D-blocks (unlike :func:`_dshard_aggregate_band`); its V pass is
+    instead the same first-order band wavefront the vertical SGM scan
+    uses. Bit-identical to the dense ``ops.fif.fif_improve``."""
+    from mystereomatching_tpu.ops import fif as fif_ops
+
+    h, w = image.shape[:2]
+    sigma, pn = cfg.fif_sigma, cfg.fif_pn
+    # vertical edge weights need the next band's first row (1-row halo);
+    # wv_full[i] = weight of the edge (global r0+i-1, r0+i)
+    img_ext = exchange_rows(image, 1, row_axis=0, pad_mode="edge")
+    imgf = img_ext.astype(jnp.float32) / 255.0
+    dv = jnp.sum((imgf[1:] - imgf[:-1]) ** 2, axis=-1)      # [hb+1, W]
+    wv_full = jnp.exp(-dv / (sigma * sigma))
+    wh, _ = fif_ops._edge_weights(image, sigma)             # row-local
+
+    hres = (fif_ops._mp(vol, wh, pn)
+            + fif_ops._mp(vol[..., ::-1], fif_ops._rev_w(wh),
+                          pn)[..., ::-1]
+            - vol)
+
+    n_dev = lax.axis_size("row")
+    grow = lax.axis_index("row") * h + jnp.arange(h, dtype=jnp.int32)
+    aw_fwd = jnp.where((grow == 0)[:, None], 0.0, wv_full[:h])
+    aw_bwd = jnp.where((grow == n_dev * h - 1)[:, None], 0.0, wv_full[1:])
+
+    oi_d, perm_d = _band_order(True)
+    fwd = _minplus_vert_band(hres, aw_fwd, pn, oi_d, perm_d, n_chunks)
+    oi_u, perm_u = _band_order(False)
+    bwd = _minplus_vert_band(hres[:, ::-1], aw_bwd[::-1], pn, oi_u,
+                             perm_u, n_chunks)[:, ::-1]
+    return fwd + bwd - hres
+
+
 def _true_border_arm_clamp(arms: jnp.ndarray, halo: int, min_arm: int,
                            axis_name: str = "row") -> jnp.ndarray:
     """Clamp vertical arms of a halo-extended band to the TRUE picture
@@ -375,6 +523,19 @@ def _match_pair_band(left, right, cfg: MatchConfig, n_chunks: int,
                     box_filter_volume)
 
                 vol = box_filter_volume(vol, cfg.bf_radius)
+            elif cfg.aggregation in ("gf", "jbf", "aws", "nl", "gfnl",
+                                     "fif"):
+                # full-extent aggregations (round-5 port): FIF_Improve
+                # keeps the band layout (V-pass wavefront); the rest
+                # re-shard to D-blocks for the dense op
+                vol = crop_rows(vol, halo, row_axis=1)
+                if cfg.aggregation == "fif" and cfg.fif_improve:
+                    vol = _fif_improve_band(
+                        vol, left if lor == 0 else right, cfg, n_chunks)
+                else:
+                    vol = _dshard_aggregate_band(vol, cfg, left, right, lor)
+                vols[lor] = vol
+                continue
             elif cfg.aggregation != "none":
                 raise NotImplementedError(
                     f"sharded aggregation {cfg.aggregation!r} not supported")
@@ -713,10 +874,10 @@ def check_sharded_support(cfg: MatchConfig) -> None:
     if cfg.optimization not in ("sgm", "wta", "so"):
         raise NotImplementedError(
             f"sharded optimization {cfg.optimization!r} not supported")
-    if cfg.aggregation not in ("cbca", "bf", "none"):
+    if cfg.aggregation not in ("cbca", "bf", "none", "gf", "jbf", "aws",
+                               "fif", "nl", "gfnl"):
         raise NotImplementedError(
-            f"sharded aggregation {cfg.aggregation!r} not supported "
-            "(NL has its own sharded path: parallel/nl_sharded.py)")
+            f"sharded aggregation {cfg.aggregation!r} not supported")
     for flag, why in (
             ("do_cbbi", "flood-fill segmentation is image-global"),
             ("nl_post_process", "use parallel/nl_sharded.py"),

@@ -219,7 +219,7 @@ def test_sharded_unsupported_flags_raise(pair):
 
     base = default_config(max_disp=7, census_rv=2, census_ru=3,
                           cbca_cross_l=3, cbca_cross_l_out=5)
-    bad = [base.replace(do_cbbi=True), base.replace(aggregation="gf"),
+    bad = [base.replace(do_cbbi=True),
            base.replace(nl_post_process=True),
            base.replace(d_stream_block=4)]
     for cfg in bad:
@@ -278,4 +278,26 @@ def test_sharded_crossscale(pair):
     """Cross-scale SolveAll (cpp:2142-2208): local finest band fused with
     replicated coarse levels at global row indices."""
     cfg = _small_cfg().replace(pyramid_levels=2)
+    _assert_sharded_matches_dense(pair, cfg)
+
+
+@pytest.mark.parametrize("agg,extra", [
+    ("gf", dict(gf_color_guide=True, gf_radius=3)),
+    ("gf", dict(gf_color_guide=False, gf_radius=3)),
+    ("jbf", dict(jbf_radius=3)),
+    ("aws", dict(aws_win=3)),
+    ("fif", dict(fif_improve=True)),
+    ("fif", dict(fif_improve=False)),
+    ("nl", dict()),
+    ("gfnl", dict(gf_radius=3)),
+])
+def test_sharded_aggregation_family_exact(pair, agg, extra):
+    """Round-5 port (VERDICT r4 item 7): GF gray+color (cpp:4404-4539),
+    JBF (cpp:5738-5767), AWS (cpp:5692-5801), FIF + FIF_Improve
+    (cpp:4541-4890), NL (cpp:4892-4917) and GFNL (cpp:4421-4490) on row
+    bands. All but FIF_Improve re-shard H-bands -> D-blocks (all_to_all)
+    and run the dense op per block (per-disparity-slice independence =>
+    bit-exact); FIF_Improve's ±1-disparity min-plus recursion instead
+    wavefronts its V pass across bands like vertical SGM."""
+    cfg = _small_cfg().replace(aggregation=agg, **extra)
     _assert_sharded_matches_dense(pair, cfg)
