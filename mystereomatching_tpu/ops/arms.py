@@ -98,7 +98,13 @@ def _grow_arms(img, anchor_sched, neigh_thresh, min_arm, directions):
     if tuple(dirs) == DIRECTIONS:
         from mystereomatching_tpu.ops import pallas_kernels as pk
 
-        if pk.tpu_backend():
+        # whole-axis VMEM budget: the grow kernel holds the 3-channel
+        # image block + diff scratch for the FULL reduction axis; at
+        # full-res (1400-long axis) the scoped allocation exceeds the
+        # 16 MB VMEM limit (measured round 5: 18.39M requested) — fall
+        # back to the XLA tap chain beyond the fit
+        fits = pk.arms_grow_fits(l_out, max(h, w))
+        if pk.tpu_backend() and fits:
             # one VMEM-resident Pallas kernel per direction pair replaces
             # the ~130 dispatched [H,W] ops of the tap chain below
             # (bit-identical comparisons; interpret-mode parity in

@@ -97,9 +97,28 @@ def _taps_kernel(vol_ref, an_ref, ap_ref, out_ref, buf, *, max_arm: int,
     ap = ap_ref[:].astype(jnp.int32)[None]
 
     if not seg or seg >= a:
-        segs = [(0, a)]
-    else:
-        segs = [(s0, min(seg, a - s0)) for s0 in range(0, a, seg)]
+        # whole-block path: byte-identical to the pre-seg kernel (full
+        # range sub-slicing of refs is NOT used — rewriting out_ref[:]
+        # as out_ref[:, :, 0:a, :] changed the Mosaic lowering)
+        fill = jnp.full_like(v, ident)
+        kmax = jnp.maximum(jnp.max(an), jnp.max(ap))
+
+        def body0(k, acc):
+            fwd = buf[:, :, pl.ds(m + k, a), :]     # v[x + k]
+            bwd = buf[:, :, pl.ds(m - k, a), :]     # v[x - k]
+            acc = combine(acc, jnp.where(ap >= k, fwd, fill))
+            acc = combine(acc, jnp.where(an >= k, bwd, fill))
+            return acc
+
+        res = jax.lax.fori_loop(1, jnp.minimum(kmax, m) + 1, body0, v)
+        if div_pair:
+            out_ref[:] = (res[:1] / jnp.maximum(res[1:], 1.0)).astype(
+                out_ref.dtype)
+        else:
+            out_ref[:] = res.astype(out_ref.dtype)
+        return
+
+    segs = [(s0, min(seg, a - s0)) for s0 in range(0, a, seg)]
     for s0, sl in segs:
         an_s = an[:, :, s0:s0 + sl, :]
         ap_s = ap[:, :, s0:s0 + sl, :]
@@ -1098,6 +1117,16 @@ def _arms_grow_kernel(img_ref, sched_ref, armf_ref, armb_ref, buf, dm, *,
         1, l_out + 1, body, (ones, ones, ones * 0, ones * 0))
     armf_ref[:] = arm_f
     armb_ref[:] = arm_b
+
+
+def arms_grow_fits(l_out: int, a: int, bt: int = 128) -> bool:
+    """Scoped-VMEM fit check for :func:`arms_grow_pallas` (the kernel
+    holds the whole reduction axis per block). Budget model from the
+    fullres OOM (round 5): image block + 2 outputs + the two scratch
+    planes + double buffering must stay under ~16 MB; 12 MB keeps margin."""
+    ap = a + 2 * (l_out + 1)
+    elems = (3 * a + 2 * a + 3 * ap + ap) * bt     # img, outs, scratches
+    return elems * 4 * 2 < 12 * 2 ** 20            # x2: double buffering
 
 
 def arms_grow_pallas(img3: jnp.ndarray, sched, neigh_thresh: float,

@@ -13,6 +13,7 @@ from typing import Optional, Tuple
 
 import numpy as np
 import jax.numpy as jnp
+from jax import lax
 
 from mystereomatching_tpu.ops.arms import arm_bounded_reduce, arm_bounded_sum
 from mystereomatching_tpu.ops.median import median_small, median_masked
@@ -504,35 +505,60 @@ def proper_interpolation(
                          mis_fill)
         return jnp.where(inval, fill, disp)
 
-    dir_disp = []
-    dir_cdif = []
-    for k in range(16):
+    # XLA fallback: ONE direction body under lax.scan over the 16 offset
+    # tables (round 5 — the former 16x20 static unroll was ~1.3M HLO
+    # chars at teddy scale, the single largest piece of the nl/fullres
+    # configs' >120 s local compiles). Steps stay unrolled inside the
+    # body so each direction's chain still fuses; the direction
+    # reduction becomes a strict-< running update, which keeps the
+    # stacked argmin's first-minimum-wins tie order (cpp:7475-7484).
+    vv = jnp.arange(h, dtype=jnp.int32)[:, None]
+    uu = jnp.arange(w, dtype=jnp.int32)[None, :]
+
+    def shift_dyn(x, dv, du, fill):
+        rolled = jnp.roll(x, (-dv, -du), axis=(-2, -1))
+        ok = ((vv + dv >= 0) & (vv + dv < h)
+              & (uu + du >= 0) & (uu + du < w))
+        return jnp.where(ok, rolled, jnp.asarray(fill, x.dtype))
+
+    def per_dir(carry, offs_k):
+        found_any, occ_min, best_cd, best_d, any_mis = carry
         found = jnp.zeros(disp.shape, jnp.bool_)
         dsp = jnp.full(disp.shape, -1, disp.dtype)
         cdf = jnp.full(disp.shape, jnp.inf, jnp.float32)
         for dep in range(search_depth):
-            dv, du = int(offs[k, dep, 0]), int(offs[k, dep, 1])
-            nd = _shift2d(disp, dv, du, -1)
-            nc = _shift2d(img, dv, du, 1e9)
+            dv, du = offs_k[dep, 0], offs_k[dep, 1]
+            nd = shift_dyn(disp, dv, du, -1)
+            nc = shift_dyn(img, dv, du, 1e9)
             hit = (~found) & (nd >= 0)
             cd = jnp.max(jnp.abs(nc - img), axis=0)
             dsp = jnp.where(hit, nd, dsp)
             cdf = jnp.where(hit, cd, cdf)
             found = found | hit
-        dir_disp.append(dsp)
-        dir_cdif.append(cdf)
-    dd = jnp.stack(dir_disp)           # [16,H,W]
-    dc = jnp.stack(dir_cdif)
+        valid = dsp >= 0
+        found_any = found_any | valid
+        occ_min = jnp.minimum(occ_min,
+                              jnp.where(valid, dsp, jnp.asarray(10 ** 6,
+                                                                dsp.dtype)))
+        # cdif < 255 gate: reference inits minDifColor=255 (cpp:7477)
+        cd_eff = jnp.where(valid & (cdf < 255.0), cdf, jnp.inf)
+        upd = cd_eff < best_cd
+        best_d = jnp.where(upd, dsp, best_d)
+        best_cd = jnp.where(upd, cd_eff, best_cd)
+        any_mis = any_mis | jnp.isfinite(cd_eff)
+        return (found_any, occ_min, best_cd, best_d, any_mis), None
 
-    found_any = jnp.any(dd >= 0, axis=0)
-    # occlusion: min valid disparity over directions
-    occ_fill = jnp.min(jnp.where(dd >= 0, dd, 10 ** 6), axis=0)
-    # mismatch: disparity of min color-diff direction with cdif < 255 init
-    # (reference inits minDifColor=255, cpp:7477 — differences >= 255 lose)
-    dc_eff = jnp.where((dd >= 0) & (dc < 255.0), dc, jnp.inf)
-    kbest = jnp.argmin(dc_eff, axis=0)
-    mis_fill_raw = jnp.take_along_axis(dd, kbest[None], axis=0)[0]
-    mis_found = jnp.any(jnp.isfinite(dc_eff), axis=0)
+    # init derived from the inputs (not fresh constants) so the carry is
+    # "varying" over any enclosing shard_map axes like the body output
+    zi = disp - disp
+    zf = img[0] * 0.0
+    init = (zi != 0,
+            zi + jnp.asarray(10 ** 6, disp.dtype),
+            zf + jnp.asarray(jnp.inf, jnp.float32),
+            zi - jnp.asarray(1, disp.dtype),
+            zi != 0)
+    (found_any, occ_fill, _, mis_fill_raw, mis_found), _ = lax.scan(
+        per_dir, init, jnp.asarray(offs, jnp.int32))
     mis_fill = jnp.where(mis_found, mis_fill_raw, disp)
 
     is_occ = disp == disp_occ
