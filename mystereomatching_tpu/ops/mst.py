@@ -388,10 +388,10 @@ def _rank_setup(is_edge: jnp.ndarray, succ: jnp.ndarray, h: int):
     """Compact-size-independent prep for :func:`_rank_tour` — hoisted out
     of the fast/full cond branches so it is traced once.
 
-    Returns (newid, succ_new): old -> compact id via a 2-level prefix sum
+    Returns (newid, succ): old -> compact id via a 2-level prefix sum
     ([H, S*W] rows + row offsets; a flat 1-D cumsum over S*N elements
-    hangs the TPU lowering), and each live edge's successor in compact id
-    space (-1 = tour end / absent).
+    hangs the TPU lowering). The old->compact remap of ``succ`` itself is
+    deferred to :func:`_rank_tour`'s sort-based compaction.
     """
     de = is_edge.shape[0]
     e2 = is_edge.astype(jnp.int32).reshape(h, de // h)
@@ -399,45 +399,51 @@ def _rank_setup(is_edge: jnp.ndarray, succ: jnp.ndarray, h: int):
     row_tot = c2[:, -1]
     offs = jnp.cumsum(row_tot) - row_tot
     newid = (c2 + offs[:, None]).reshape(-1) - 1      # [4N]
-    iota = jnp.arange(de, dtype=jnp.int32)
-    live = is_edge & (succ != iota)
-    # (a 16-combination plane-shift replacement for this 4N-row gather was
-    # measured SLOWER on-chip — 29.5 vs 20.9 ms root_tree — the masked
-    # select chain doesn't fuse; the gather stays)
-    succ_new = jnp.where(live, newid[succ], -1)        # -1: tour end/self
-    return newid, succ_new
+    return newid, succ
 
 
 def _rank_tour(is_edge: jnp.ndarray, newid: jnp.ndarray,
-               succ_new: jnp.ndarray, nc: int) -> jnp.ndarray:
+               succ: jnp.ndarray, nc: int) -> jnp.ndarray:
     """List-rank the Euler tour: negated steps-to-end per directed edge.
 
-    is_edge: [4N] slot-space presence; newid/succ_new from
+    is_edge: [4N] slot-space presence; newid/succ from
     :func:`_rank_setup`. ``nc``: STATIC compact size — live edges are
     compacted into nc rows and ranked by pointer doubling with
-    (dist, succ) fused into one [nc, 2] gather per round. TPU gathers are
-    row-latency-bound (~6 ns/row), so the caller shrinks nc as far as it
-    can prove live <= nc. Returns [4N] int32 ranks (earlier edge =>
-    smaller value; non-edges 0).
+    (dist, succ) fused into one [nc, 2] gather per round.
+
+    Compaction is ONE lax.sort of the slot space by newid (round 5): the
+    former scatter-into-compact + newid[succ] remap + oldid scatter were
+    three [4N]-row ops at the ~6.5 ns/row scatter/gather latency floor
+    (~13 of root_tree's 18.8 ms at Teddy scale — rank machinery was
+    18.4 of it) while lax.sort is near-bandwidth-bound (~0.3 ms at 335k
+    rows). After the sort, the succ remap gathers only nc rows. Returns
+    [4N] int32 ranks (earlier edge => smaller value; non-edges 0).
     """
     de = is_edge.shape[0]
     iota = jnp.arange(de, dtype=jnp.int32)
-    slot = jnp.where(is_edge, newid, nc)               # nc: dropped
+    keyo = jnp.where(is_edge, newid, de)               # dead slots last
+    key_s, succ_s, old_s = jax.lax.sort((keyo, succ, iota), num_keys=1)
+    key_s, succ_s, old_s = key_s[:nc], succ_s[:nc], old_s[:nc]
+    live_row = key_s < de
     iota_c = jnp.arange(nc, dtype=jnp.int32)
-    succ_c = jnp.full((nc,), -1, jnp.int32).at[slot].set(succ_new, mode="drop")
-    succ_c = jnp.where(succ_c >= 0, succ_c, iota_c)
+    # compact successor: newid of the old successor; tour ends (succ ==
+    # self) and dead rows point at themselves (inert)
+    succ_c = jnp.where(live_row & (succ_s != old_s),
+                       newid[jnp.where(live_row, succ_s, 0)], iota_c)
     dist_c = jnp.where(succ_c != iota_c, 1, 0)
     st = jnp.stack([dist_c, succ_c], axis=1)           # [nc, 2]
-    rounds = math.ceil(math.log2(max(nc, 2)))
 
-    def rank_round(_, st):
+    def rank_round(state):
+        st, _ = state
         g = st[st[:, 1]]                               # one fused gather
-        return jnp.stack([st[:, 0] + g[:, 0], g[:, 1]], axis=1)
+        st2 = jnp.stack([st[:, 0] + g[:, 0], g[:, 1]], axis=1)
+        return st2, jnp.any(st2[:, 1] != st[:, 1])
 
-    st = jax.lax.fori_loop(0, rounds, rank_round, st)
-    # back to slot space by SCATTER (nc rows), not gather (4N rows): dist =
-    # steps to tour end, so earlier edge => larger dist => smaller -dist
-    oldid = jnp.full((nc,), de, jnp.int32).at[slot].set(iota, mode="drop")
+    st, _ = jax.lax.while_loop(lambda s: s[1], rank_round,
+                               (st, is_edge[0] == is_edge[0]))
+    # back to slot space by SCATTER (nc input rows): dist = steps to tour
+    # end, so earlier edge => larger dist => smaller -dist
+    oldid = jnp.where(live_row, old_s, de)
     return jnp.zeros((de,), jnp.int32).at[oldid].set(-st[:, 0], mode="drop")
 
 
@@ -471,6 +477,7 @@ def root_tree(in_mst: jnp.ndarray, wr: jnp.ndarray, wd: jnp.ndarray,
     """
     h, w = wr.shape[0], wr.shape[1] + 1
     n = h * w
+    peels = int(os.environ.get("MYSM_ROOT_PEELS", peels))
     if diag is None:
         slots = _slot_masks(in_mst, h, w)             # [4,H,W]
         slot_off, rev_slot = _SLOT_OFF, _REV_SLOT
@@ -574,16 +581,16 @@ def root_tree(in_mst: jnp.ndarray, wr: jnp.ndarray, wd: jnp.ndarray,
     # edges; 2n/6 holds that with margin, and pathological (path-shaped)
     # trees fall through to the exact full-size branch. Small problems
     # skip the cond (one full-size branch — see _COND_MIN_N).
-    newid, succ_new = _rank_setup(is_edge, succ, h)
+    newid, succ2 = _rank_setup(is_edge, succ, h)
     nc_fast = max(64, (2 * n) // int(os.environ.get("MYSM_RANK_DIV", "6")))
     if n <= _COND_MIN_N:
-        rank = _rank_tour(is_edge, newid, succ_new, 2 * n)
+        rank = _rank_tour(is_edge, newid, succ2, 2 * n)
     else:
         cnt = jnp.sum(is_edge.astype(jnp.int32))
         rank = jax.lax.cond(
             cnt <= nc_fast,
-            lambda: _rank_tour(is_edge, newid, succ_new, nc_fast),
-            lambda: _rank_tour(is_edge, newid, succ_new, 2 * n))
+            lambda: _rank_tour(is_edge, newid, succ2, nc_fast),
+            lambda: _rank_tour(is_edge, newid, succ2, 2 * n))
 
     # parent for core nodes: node v's parent is the neighbor t of the
     # unique present slot s whose INCOMING direction (t->v) ranks earlier
@@ -734,35 +741,39 @@ def boruvka_mst_contracted(wr: jnp.ndarray, wd: jnp.ndarray) -> jnp.ndarray:
     r1 = 2
     while (n >> (r1 + 1)) > 46340:
         r1 += 1
-    state = _grid_round1(wr, wd, idx_bits)
-    round_body = _grid_round_body(wr, wd, eu, ev, idx_bits)
-    # cap tightening (round 4): every post-phase-1 row op (dedup sorts,
-    # cascade gathers/scatters) is latency-bound in its STATIC row count,
-    # and the worst-case bound n>>r1 over-provisions ~3-4x (measured
-    # components after 2 grid rounds: ~0.08n on natural/synthetic images
-    # vs the 0.25n bound). Size the cascade for n>>(r1+1) and, on the
-    # rare image that exceeds it, run ONE extra grid round — components
-    # at least double per round, so the tight cap is then a true bound.
-    # Same unique MST either way. The extra round runs under the SAME
-    # while_loop as rounds 2..r1 (counter + component-count condition), so
-    # the round body is traced ONCE — a lax.cond top-up duplicated the
-    # whole grid-round program and quadrupled the NL XLA compile
-    # (round-4 multichip gate timeout, VERDICT r4 item 1).
-    iota_n = jnp.arange(n, dtype=jnp.int32)
-    c_cap = max(n >> (r1 + 1), 64)
+    if not os.environ.get("MYSM_NO_PLANE_P1"):
+        # round 5: phase 1 as pure plane-math fixpoint propagation (see
+        # _plane_phase1) — p_rounds rounds guarantee the n >> p_rounds
+        # cap with no conditional top-up (components at least double per
+        # round). Extra plane rounds are cheap (~0.1 ms fixpoint
+        # iterations) and shrink every post-contraction row count 2x
+        # each; measured at Teddy scale: 3 rounds 18.8 ms, 4 -> 13.3,
+        # 5 -> 8.9, 6 -> 8.1 (all bit-exact).
+        p_rounds = int(os.environ.get("MYSM_PLANE_ROUNDS", "0")) or (r1 + 4)
+        c_cap = max(n >> p_rounds, 64)
+        comp, in_mst = _plane_phase1(wr, wd, idx_bits, p_rounds)
+    else:
+        # hook + pointer-jump formulation (A/B reference): rounds 2..r1
+        # and the cap top-up run under ONE while_loop so the round body
+        # is traced once (a lax.cond top-up duplicated the whole program
+        # and quadrupled the NL XLA compile — round-4 multichip timeout)
+        c_cap = max(n >> (r1 + 1), 64)
+        state = _grid_round1(wr, wd, idx_bits)
+        round_body = _grid_round_body(wr, wd, eu, ev, idx_bits)
+        iota_n = jnp.arange(n, dtype=jnp.int32)
 
-    def more_rounds(st):
-        comp, _, i = st
-        cnt = jnp.sum((comp == iota_n).astype(jnp.int32))
-        return (i < r1 - 1) | ((i < r1) & (cnt > c_cap))
+        def more_rounds(st):
+            comp, _, i = st
+            cnt = jnp.sum((comp == iota_n).astype(jnp.int32))
+            return (i < r1 - 1) | ((i < r1) & (cnt > c_cap))
 
-    def round_step(st):
-        comp, in_mst, i = st
-        comp, in_mst = round_body((comp, in_mst))
-        return comp, in_mst, i + 1
+        def round_step(st):
+            comp, in_mst, i = st
+            comp, in_mst = round_body((comp, in_mst))
+            return comp, in_mst, i + 1
 
-    comp, in_mst, _ = jax.lax.while_loop(
-        more_rounds, round_step, state + (state[0][0] * 0,))
+        comp, in_mst, _ = jax.lax.while_loop(
+            more_rounds, round_step, state + (state[0][0] * 0,))
 
     # --- phase 2: relabel components densely, contract edges ---
     iota = jnp.arange(n, dtype=jnp.int32)
@@ -825,6 +836,107 @@ def boruvka_mst_contracted(wr: jnp.ndarray, wd: jnp.ndarray) -> jnp.ndarray:
     in_mst = in_mst | jnp.zeros((e,), jnp.bool_).at[orig].max(
         chosen & valid_k, mode="drop")
     return in_mst
+
+
+def _plane_phase1(wr, wd, idx_bits: int, rounds: int):
+    """Phase-1 Borůvka rounds as PURE PLANE MATH — zero gathers/scatters.
+
+    [n]-row scatters/gathers are ~6.5 ns/row latency-bound on TPU, and
+    the classic hook + pointer-jump formulation spends ~20 of them over
+    2 grid rounds — measured 24.3 ms of the 42 ms Teddy-scale build
+    (scripts/profile_boruvka5.py, round 5), while the dedup sorts the
+    round-3 analysis blamed cost 0.3-0.5 ms. Each round here is VPU-only:
+
+      1. per-node min ALIVE incident edge key (4 padded mins), then a
+         FIXPOINT while-loop propagating the min over same-label edges —
+         at convergence every node holds its COMPONENT's min outgoing
+         key exactly (monotone min propagation over a connected region);
+      2. chosen edges marked by plane key-equality at either endpoint
+         (keys are unique, so equality identifies the component minima);
+      3. labels updated by min-label fixpoint propagation over
+         (same-label | chosen) edges. No 2-cycle case exists: min-label
+         propagation cannot oscillate. Hook chains are weight-decreasing,
+         so merged diameters stay small and the fixpoints converge in a
+         few ~0.1 ms [H,W] iterations.
+
+    Labels are component-min NODE ids — consistent at fixpoint, which is
+    all the relabel/dedup machinery needs. Components at least double
+    per round, so after ``rounds`` rounds the component count is
+    <= n >> rounds with NO conditional top-up. Returns (comp [n] int32,
+    in_mst [E] bool in _flatten_edges order); the marked edge set equals
+    the hook formulation's exactly (same unique per-component minima).
+    """
+    h, w = wr.shape[0], wr.shape[1] + 1
+    n = h * w
+    big = jnp.int32(2**31 - 1)
+    eidx_r = jnp.arange(h * (w - 1), dtype=jnp.int32).reshape(h, w - 1)
+    eidx_d = (h * (w - 1)
+              + jnp.arange(w * (h - 1), dtype=jnp.int32).reshape(w, h - 1).T)
+    key_r = (wr << idx_bits) | eidx_r
+    key_d = (wd << idx_bits) | eidx_d
+
+    zi = (wr[0, 0] * 0).astype(jnp.int32)          # varying zero
+    lab = jnp.arange(n, dtype=jnp.int32).reshape(h, w) + zi
+    in_r = jnp.zeros((h, w - 1), jnp.bool_) | (zi != 0)
+    in_d = jnp.zeros((h - 1, w), jnp.bool_) | (zi != 0)
+
+    def padmin(x, top, bot, lef, rig):
+        return jnp.pad(x, ((top, bot), (lef, rig)), constant_values=big)
+
+    for _ in range(rounds):
+        same_r = lab[:, :-1] == lab[:, 1:]
+        same_d = lab[:-1, :] == lab[1:, :]
+        kr = jnp.where(same_r, big, key_r)
+        kd = jnp.where(same_d, big, key_d)
+        nk = jnp.minimum(
+            jnp.minimum(padmin(kr, 0, 0, 0, 1), padmin(kr, 0, 0, 1, 0)),
+            jnp.minimum(padmin(kd, 0, 1, 0, 0), padmin(kd, 1, 0, 0, 0)))
+
+        def prop_body(st, same_r=same_r, same_d=same_d):
+            nk, _ = st
+            r_in = jnp.where(same_r, nk[:, 1:], big)     # from right nbr
+            l_in = jnp.where(same_r, nk[:, :-1], big)    # from left nbr
+            d_in = jnp.where(same_d, nk[1:, :], big)
+            u_in = jnp.where(same_d, nk[:-1, :], big)
+            cand = jnp.minimum(
+                jnp.minimum(padmin(r_in, 0, 0, 0, 1),
+                            padmin(l_in, 0, 0, 1, 0)),
+                jnp.minimum(padmin(d_in, 0, 1, 0, 0),
+                            padmin(u_in, 1, 0, 0, 0)))
+            nk2 = jnp.minimum(nk, cand)
+            return nk2, jnp.any(nk2 != nk)
+
+        nk, _ = jax.lax.while_loop(lambda st: st[1], prop_body,
+                                   (nk, zi == 0))
+
+        ch_r = (~same_r) & ((key_r == nk[:, :-1]) | (key_r == nk[:, 1:]))
+        ch_d = (~same_d) & ((key_d == nk[:-1, :]) | (key_d == nk[1:, :]))
+        in_r = in_r | ch_r
+        in_d = in_d | ch_d
+
+        lnk_r = same_r | ch_r
+        lnk_d = same_d | ch_d
+
+        def lab_body(st, lnk_r=lnk_r, lnk_d=lnk_d):
+            lab, _ = st
+            r_in = jnp.where(lnk_r, lab[:, 1:], big)
+            l_in = jnp.where(lnk_r, lab[:, :-1], big)
+            d_in = jnp.where(lnk_d, lab[1:, :], big)
+            u_in = jnp.where(lnk_d, lab[:-1, :], big)
+            cand = jnp.minimum(
+                jnp.minimum(padmin(r_in, 0, 0, 0, 1),
+                            padmin(l_in, 0, 0, 1, 0)),
+                jnp.minimum(padmin(d_in, 0, 1, 0, 0),
+                            padmin(u_in, 1, 0, 0, 0)))
+            lab2 = jnp.minimum(lab, cand)
+            return lab2, jnp.any(lab2 != lab)
+
+        lab, _ = jax.lax.while_loop(lambda st: st[1], lab_body,
+                                    (lab, zi == 0))
+
+    comp = lab.reshape(-1)
+    in_mst = jnp.concatenate([in_r.reshape(-1), in_d.T.reshape(-1)])
+    return comp, in_mst
 
 
 def _grid_round1(wr, wd, idx_bits):
