@@ -35,10 +35,12 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
 CPU_BASELINE_MPDS = 3.31
 
 H, W, D = 375, 450, 60
-BATCH = 16         # frames per dispatch (throughput/serving mode; also
-                   # amortizes the ~25ms tunnel dispatch round-trip).
-                   # Measured: B=12 474, B=16 494, B=20 481 MP*disp/s
-                   # (B=24 fails to compile)
+# frames per dispatch (throughput/serving mode; also amortizes the ~25ms
+# tunnel dispatch round-trip). Round-2 measured: B=12 474, B=16 494,
+# B=20 481 and B=24 failed to compile; round 5 re-measured with the
+# current kernels: the B=24 failure no longer reproduces and the sweet
+# spot moved — B=16 654.8, B=24 684.4, B=32 678.5 MP*disp/s.
+BATCH = int(os.environ.get("MYSM_BENCH_BATCH", "24"))
 WARMUP = 2
 ITERS = 5
 
