@@ -645,32 +645,38 @@ def _dedup_contract(cu, cv, rowkey, alive, c_cap: int, e_cap: int):
     big = jnp.int32(2**31 - 1)
     a = jnp.where(alive, jnp.minimum(cu, cv), jnp.int32(c_cap))
     b = jnp.where(alive, jnp.maximum(cu, cv), jnp.int32(c_cap))
+    # sort-only dedup (round 5): sorting by (pair, rowkey) makes the
+    # FIRST row of each pair segment its minimum — a plane compare with
+    # the previous row replaces the former [E,3]-row scatter-min (~2.2 ms
+    # at 335k rows vs ~0.3 ms per sort; scatters are ~6.5 ns/row serial).
     if (c_cap + 1) * (c_cap + 2) < 2**31:
-        # pack the pair into ONE int32 key (single-frame sizes): a 1-key
-        # 2-array sort measurably beats the 2-key 3-array lex sort
+        # pack the pair into ONE int32 key (single-frame sizes)
         packed = a * jnp.int32(c_cap + 1) + b
-        p_s, key_s = jax.lax.sort((packed, rowkey), num_keys=1)
+        p_s, key_s = jax.lax.sort((packed, rowkey), num_keys=2)
         a_s = p_s // jnp.int32(c_cap + 1)
         b_s = p_s - a_s * jnp.int32(c_cap + 1)
+        start = jnp.concatenate([p_s[:1] == p_s[:1],
+                                 p_s[1:] != p_s[:-1]])
     else:
-        # batched frames push c_cap past sqrt(2^31): lexicographic 2-key
-        # sort, payload riding along. Dead edges (a = c_cap) sort last.
-        a_s, b_s, key_s = jax.lax.sort((a, b, rowkey), num_keys=2)
-    start = jnp.concatenate([jnp.ones((1,), jnp.int32),
-                             ((a_s[1:] != a_s[:-1])
-                              | (b_s[1:] != b_s[:-1])).astype(jnp.int32)])
-    sid = _cumsum_flat(start) - 1                       # [E] segment ids
-    live_s = a_s != c_cap
-    sid_d = jnp.where(live_s, sid, e_cap)               # dead -> dropped
-    # per-pair minimum rowkey (the only parallel edge the unique MST can
-    # use) + the endpoints, in ONE fused [E,3] scatter-min (a/b are
-    # constant within a segment, so min is the identity on them)
-    mins = jnp.full((e_cap, 3), big, jnp.int32).at[sid_d].min(
-        jnp.stack([key_s, a_s, b_s], 1), mode="drop")
-    # rows sorted by rowkey => contracted "min edge" == "min row index"
-    # (invalid rows carry key big and sort to the back)
-    min_key, eu2, ev2 = jax.lax.sort(
-        (mins[:, 0], mins[:, 1], mins[:, 2]), num_keys=1)
+        # batched frames push c_cap past sqrt(2^31): lexicographic 3-key
+        # sort. Dead edges (a = c_cap) sort last.
+        a_s, b_s, key_s = jax.lax.sort((a, b, rowkey), num_keys=3)
+        start = jnp.concatenate([a_s[:1] == a_s[:1],
+                                 (a_s[1:] != a_s[:-1])
+                                 | (b_s[1:] != b_s[:-1])])
+    sel = start & (a_s != c_cap)
+    # compact the per-pair minima in global tie order: one more sort by
+    # (rowkey if selected else big)
+    k2 = jnp.where(sel, key_s, big)
+    min_key, eu2, ev2 = jax.lax.sort((k2, a_s, b_s), num_keys=1)
+    if e_cap <= e:
+        min_key, eu2, ev2 = min_key[:e_cap], eu2[:e_cap], ev2[:e_cap]
+    else:
+        pad = (jnp.full((e_cap - e,), big, jnp.int32),
+               jnp.zeros((e_cap - e,), jnp.int32))
+        min_key = jnp.concatenate([min_key, pad[0]])
+        eu2 = jnp.concatenate([eu2, pad[1]])
+        ev2 = jnp.concatenate([ev2, pad[1]])
     valid = min_key != big
     eu2 = jnp.where(valid, eu2, 0)
     ev2 = jnp.where(valid, ev2, 0)
@@ -1354,7 +1360,8 @@ def _tree_filter_peeled(parent: jnp.ndarray, sim: jnp.ndarray,
     # images, so n/5 holds the live core with margin — path-shaped trees
     # fall through to the exact full-size branch. Small problems trace
     # ONE full-size branch (_COND_MIN_N); cid is hoisted out of the cond.
-    cap_fast = max(64, n // 5)
+    cap_fast = max(64, n // int(os.environ.get("MYSM_FILTER_CORE_DIV",
+                                               "5")))
     flat = V.reshape(n, d).astype(jnp.float32)       # core doubling: f32
     cid = _cumsum_flat(core.astype(jnp.int32)) - 1
     if n <= _COND_MIN_N:
@@ -1412,9 +1419,17 @@ def _filter_core(flat: jnp.ndarray, sim: jnp.ndarray, parent: jnp.ndarray,
     """
     n, d = flat.shape
     iota = jnp.arange(n, dtype=jnp.int32)
-    slot = jnp.where(core, cid, cap)
-    oldid = jnp.full((cap,), n, jnp.int32).at[slot].set(iota, mode="drop")
-    row_ok = oldid < n
+    # sort-based compaction (round 5): one lax.sort by compact id beats
+    # the former [n]-row scatter at the ~6.5 ns/row latency floor
+    keyo = jnp.where(core, cid, n)
+    key_s, oldid = jax.lax.sort((keyo, iota), num_keys=1)
+    if cap <= n:
+        key_s, oldid = key_s[:cap], oldid[:cap]
+    else:
+        key_s = jnp.concatenate([key_s, jnp.full((cap - n,), n, jnp.int32)])
+        oldid = jnp.concatenate([oldid, jnp.zeros((cap - n,), jnp.int32)])
+    row_ok = key_s < n
+    oldid = jnp.where(row_ok, oldid, n)
     src = jnp.where(row_ok, oldid, 0)
     xc = jnp.where(row_ok[:, None], flat[src], 0.0)     # [cap, D]
     simc = jnp.where(row_ok, sim[src], 0.0)
